@@ -1,0 +1,203 @@
+"""Pipeline registry + mode chains.
+
+Re-expression of FilterRegistry (/root/reference/filterRegistry/
+filterRegistry.js:122-506), the 8 registered pipelines
+(/root/reference/js/defaultTextFilters.js:257-319), runTextChains
+(defaultTextFilters.js:351-394) and ModeFunctionLists
+(/root/reference/js/modeLists.js:54-400).
+
+Key Spark-first decision (SURVEY.md §4.2): Catalyst does NOT fuse chained
+pandas UDFs — each would be its own ArrowEvalPython node with a JVM<->Python
+round-trip — so the registry composes ALL steps of a mode into ONE Python
+callable; the executor sees a single mapInPandas stage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from ..functions import parex, spans, trie, widths
+from ..operators import blocks, lawnum, mainstage, strip_blank
+
+StrFilter = Callable[[str], str]
+
+
+@dataclass
+class Step:
+    fn: StrFilter
+    name: str
+    enabled: bool = True
+
+
+@dataclass
+class PipelineRegistry:
+    """Named ordered pipelines of str->str steps (filterRegistry.js:122-506).
+
+    ``apply`` folds ``current = fn(current)`` exactly like _runPipeline
+    (filterRegistry.js:406-478); ``stop_on_error=False`` keeps the pre-error
+    value and continues (filterRegistry.js:453-462).
+    """
+
+    _pipelines: dict[str, list[Step]] = field(default_factory=dict)
+
+    def register(self, name: str, steps: list[StrFilter]) -> None:
+        self._pipelines[name] = [
+            Step(fn=s, name=getattr(s, "__name__", f"step{i}")) for i, s in enumerate(steps)
+        ]
+
+    def unregister(self, name: str) -> None:
+        self._pipelines.pop(name, None)
+
+    def get(self, name: str) -> list[Step]:
+        return self._pipelines[name]
+
+    def names(self) -> list[str]:
+        return list(self._pipelines)
+
+    def enable(self, name: str, step_name: str, enabled: bool = True) -> None:
+        for st in self._pipelines[name]:
+            if st.name == step_name:
+                st.enabled = enabled
+
+    def apply(self, name: str, text: str, stop_on_error: bool = True) -> str:
+        current = "" if text is None else str(text)
+        for st in self._pipelines[name]:
+            if not st.enabled:
+                continue
+            try:
+                current = str(st.fn(current))
+            except Exception:
+                if stop_on_error:
+                    raise
+        return current
+
+    def apply_chains(self, names: list[str], text: str, stop_on_error: bool = True) -> str:
+        """runTextChains (defaultTextFilters.js:351-394)."""
+        current = "" if text is None else str(text)
+        for nm in names:
+            try:
+                current = self.apply(nm, current, stop_on_error=True)
+            except Exception:
+                if stop_on_error:
+                    raise
+        return current
+
+    def compose(self, chain_names: list[str]) -> StrFilter:
+        """Fuse multiple pipelines into one callable (the one-UDF-per-mode
+        fusion described in SURVEY.md §4.2)."""
+        fns = [
+            st.fn
+            for nm in chain_names
+            for st in self._pipelines[nm]
+            if st.enabled
+        ]
+
+        def fused(text: str) -> str:
+            current = "" if text is None else str(text)
+            for fn in fns:
+                current = str(fn(current))
+            return current
+
+        return fused
+
+
+def build_default_registry() -> PipelineRegistry:
+    """The 8 named pipelines, verbatim step order
+    (defaultTextFilters.js:257-319)."""
+    reg = PipelineRegistry()
+    reg.register("init", [
+        widths.nl, widths.hw, widths.clean, widths.rm_blank,
+        widths.squeeze, widths.trim, widths.gap, widths.lead,
+    ])
+    reg.register("main", [
+        trie.apply_flexible_map,
+        mainstage.pad_head,
+        mainstage.trim_head,
+        mainstage.tight_below_bullet,
+        mainstage.fw_head,
+        lawnum.fw_num_law,
+        lawnum.fw_ref_law,
+        lawnum.alpha_case,
+        strip_blank.tight_claims,
+    ])
+    reg.register("main_PCTENG", [
+        trie.apply_flexible_map,
+        mainstage.pad_head,
+        mainstage.trim_head,
+        mainstage.tight_below_bullet,
+        mainstage.fw_head,
+        lawnum.fw_num_law,
+        lawnum.fw_ref_law,
+        # alphaCase excluded (defaultTextFilters.js:288)
+        strip_blank.tight_claims,
+    ])
+    reg.register("stripBlankLines", [
+        strip_blank.strip_blank_lines_in_correction_note,
+        strip_blank.strip_blank_lines_in_search_result,
+        strip_blank.strip_blank_lines_in_citation,
+        strip_blank.strip_blank_lines_in_appendix,
+        strip_blank.strip_blank_lines_in_priority,
+        strip_blank.strip_blank_lines_in_amendment_suggestion,
+    ])
+    reg.register("convertEnd", [
+        blocks.convert_for_doc,
+        blocks.convert_for_family,
+        blocks.convert_for_cau,
+        blocks.convert_for_other,
+        trie.apply_flexible_map,
+    ])
+    reg.register("finalAction", [
+        blocks.convert_for_other,
+    ])
+    reg.register("parExtract", [
+        parex.extract_paragraph_and_figure_refs,
+    ])
+    reg.register("tohtml", [
+        spans.to_html,
+    ])
+    return reg
+
+
+REGISTRY = build_default_registry()
+
+# ModeFunctionLists (modeLists.js:81,134,177,220,263,303,345,379)
+MODES: dict[str, list[str]] = {
+    "officeAction": ["init", "main", "stripBlankLines", "convertEnd"],
+    "finalOfficeAction": ["init", "main", "stripBlankLines", "finalAction"],
+    "amendmentRefused": ["init", "main", "stripBlankLines", "convertEnd"],
+    "preExaminationReport": ["init", "main", "stripBlankLines", "convertEnd"],
+    "pct": ["init", "main"],
+    "pct_eng": ["init", "main_PCTENG"],
+    "paragraph": ["parExtract"],
+    "html": ["tohtml"],
+}
+
+
+def convert_text(text: str, mode: str = "officeAction") -> str:
+    """Full single-document conversion: toHalfWidth pre-step (app.js:496)
+    then the mode's chains. Fail-safe: on error return input text
+    (modeLists.js:95-104)."""
+    if mode not in MODES:
+        raise KeyError(f"unknown mode {mode!r}; available: {sorted(MODES)}")
+    normalized = widths.to_half_width("" if text is None else str(text))
+    try:
+        return REGISTRY.apply_chains(MODES[mode], normalized)
+    except Exception:
+        return "" if text is None else str(text)
+
+
+def mode_fn(mode: str) -> StrFilter:
+    """One fused callable for a mode (pre-step + all chains), suitable for
+    wrapping in a single mapInPandas stage."""
+    fused = REGISTRY.compose(MODES[mode])
+
+    def run(text: str) -> str:
+        normalized = widths.to_half_width("" if text is None else str(text))
+        try:
+            return fused(normalized)
+        except Exception:
+            return "" if text is None else str(text)
+
+    run.__name__ = f"mode_{mode}"
+    return run
