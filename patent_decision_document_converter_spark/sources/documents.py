@@ -1,0 +1,83 @@
+"""Spark IO for the interleaved `documents` table.
+
+Schema (BASELINE.json input_hint):
+    documents(doc_id string,
+              spans array<struct<kind string, text string,
+                                 media_ref string, offset int>>)
+
+Output table:
+    spans_out(doc_id, mode, spans, findings, n_spans_in, n_spans_out)
+
+Write layout: parquet partitioned by `bucket` = pmod(xxhash64(doc_id), N) —
+the Iceberg-style bucket transform — so (a) co-located reads by doc_id need
+no shuffle at matching bucket counts, (b) per-bucket checkpoint manifests
+make restarts resumable at bucket granularity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SPAN_TYPE = StructType([
+    StructField("kind", StringType()),
+    StructField("text", StringType()),
+    StructField("media_ref", StringType()),
+    StructField("offset", IntegerType()),
+])
+
+DOCUMENTS_SCHEMA = StructType([
+    StructField("doc_id", StringType(), False),
+    StructField("spans", ArrayType(SPAN_TYPE), False),
+])
+
+FINDING_TYPE = StructType([
+    StructField("id", StringType()),
+    StructField("message", StringType()),
+    StructField("match", StringType()),
+    StructField("index", IntegerType()),
+    StructField("context", StringType()),
+])
+
+SPANS_OUT_SCHEMA = StructType([
+    StructField("doc_id", StringType(), False),
+    StructField("mode", StringType(), False),
+    StructField("spans", ArrayType(SPAN_TYPE), False),
+    StructField("findings", ArrayType(FINDING_TYPE), False),
+    StructField("n_spans_in", IntegerType(), False),
+    StructField("n_spans_out", IntegerType(), False),
+])
+
+
+def create_documents_df(spark: SparkSession, rows: list[dict]) -> DataFrame:
+    """Build the documents DataFrame from generator rows
+    (sources.generator.make_documents_rows)."""
+    data = [
+        (
+            r["doc_id"],
+            [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]],
+        )
+        for r in rows
+    ]
+    return spark.createDataFrame(data, DOCUMENTS_SCHEMA)
+
+
+def write_documents(df: DataFrame, path: str, n_buckets: int = 32) -> None:
+    """Write the documents table bucket-partitioned by doc_id hash."""
+    (
+        df.withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def read_documents(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -1,0 +1,154 @@
+"""Spark-job integration tests: span-sequence equality, media pass-through,
+permutation invariance, quarantine, resumable checkpointing.
+
+Uses one shared local SparkSession (module scope) — JVM startup dominates.
+"""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from patent_decision_document_converter_spark.plans.job import (
+    completed_buckets,
+    convert_documents,
+    get_spark,
+    quarantine_split,
+    run_job,
+)
+from patent_decision_document_converter_spark.plans.registry import convert_text
+from patent_decision_document_converter_spark.sources.documents import (
+    create_documents_df,
+    write_documents,
+)
+from patent_decision_document_converter_spark.sources.generator import (
+    doc_text_from_spans,
+    make_documents_rows,
+)
+
+from .conftest import read_fixture
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(app_name="pytest-engine", master="local[4]", shuffle_partitions=4)
+    yield s
+
+
+@pytest.fixture(scope="module")
+def docs_rows():
+    return make_documents_rows(60, seed=42, mega_frac=0.0)
+
+
+def test_fixture_docs_match_reference(spark):
+    """Fixture documents as single-text-span docs: the converted span text
+    must byte-equal the reference golden (the BASELINE equality gate)."""
+    from .conftest import FIXTURES, read_golden
+
+    rows = [
+        {
+            "doc_id": fx,
+            "spans": [{"kind": "text", "text": read_fixture(fx), "media_ref": "", "offset": 0}],
+        }
+        for fx in FIXTURES
+    ]
+    df = create_documents_df(spark, rows)
+    out = {
+        r["doc_id"]: r
+        for r in convert_documents(df, "officeAction").collect()
+    }
+    for fx in FIXTURES:
+        spans = out[fx]["spans"]
+        assert len(spans) == 1
+        assert spans[0]["kind"] == "text"
+        assert spans[0]["text"] == read_golden(f"{fx}__officeAction")
+
+
+def test_media_passthrough_and_order(spark, docs_rows):
+    df = create_documents_df(spark, docs_rows)
+    out = {r["doc_id"]: r for r in convert_documents(df, "pct").collect()}
+    for row in docs_rows:
+        got = out[row["doc_id"]]["spans"]
+        in_media = [
+            (s["kind"], s["text"], s["media_ref"])
+            for s in sorted(row["spans"], key=lambda s: s["offset"])
+            if s["kind"] != "text"
+        ]
+        got_media = [
+            (s["kind"], s["text"], s["media_ref"]) for s in got if s["kind"] != "text"
+        ]
+        assert got_media == in_media  # bit-identical, in order
+        # offsets dense 0..n-1
+        assert [s["offset"] for s in got] == list(range(len(got)))
+
+
+def test_permutation_invariance(spark, docs_rows):
+    """Physically permuted span arrays give identical output (offset sort)."""
+    import random
+
+    rng = random.Random(0)
+    permuted = []
+    for r in docs_rows[:20]:
+        spans = list(r["spans"])
+        rng.shuffle(spans)
+        permuted.append({"doc_id": r["doc_id"], "spans": spans})
+    df1 = create_documents_df(spark, docs_rows[:20])
+    df2 = create_documents_df(spark, permuted)
+    o1 = sorted(convert_documents(df1, "pct").collect(), key=lambda r: r["doc_id"])
+    o2 = sorted(convert_documents(df2, "pct").collect(), key=lambda r: r["doc_id"])
+    assert [r.asDict(recursive=True) for r in o1] == [r.asDict(recursive=True) for r in o2]
+
+
+def test_text_run_semantics_no_media_equals_reference(spark):
+    """Docs without media: output text == convert_text of the joined text."""
+    rows = make_documents_rows(10, seed=7, media_spans=0, mega_frac=0.0)
+    rows = [
+        {"doc_id": r["doc_id"], "spans": [s for s in r["spans"] if s["kind"] == "text"]}
+        for r in rows
+    ]
+    df = create_documents_df(spark, rows)
+    out = {r["doc_id"]: r for r in convert_documents(df, "officeAction").collect()}
+    for r in rows:
+        expected = convert_text(doc_text_from_spans(r["spans"]), "officeAction")
+        got = out[r["doc_id"]]["spans"]
+        assert len(got) == 1 and got[0]["text"] == expected
+
+
+def test_quarantine_split(spark):
+    rows = [
+        {"doc_id": "bad", "spans": [{"kind": "text", "text": "これは、、誤記です", "media_ref": "", "offset": 0}]},
+        {"doc_id": "good", "spans": [{"kind": "text", "text": "これは正しい文です。", "media_ref": "", "offset": 0}]},
+    ]
+    df = create_documents_df(spark, rows)
+    out = convert_documents(df, "officeAction")
+    clean, quarantined = quarantine_split(out)
+    assert [r["doc_id"] for r in clean.collect()] == ["good"]
+    assert [r["doc_id"] for r in quarantined.collect()] == ["bad"]
+
+
+def test_run_job_resumable(spark, docs_rows, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("job"))
+    inp, outp = os.path.join(base, "in"), os.path.join(base, "out")
+    df = create_documents_df(spark, docs_rows)
+    write_documents(df, inp, n_buckets=4)
+
+    m1 = run_job(spark, inp, outp, "pct", n_buckets=4)
+    assert m1["buckets_run"] > 0 and m1["docs"] == len(docs_rows)
+    done = completed_buckets(outp)
+    assert len(done) == m1["buckets_run"]
+
+    # resume: nothing left to do
+    m2 = run_job(spark, inp, outp, "pct", n_buckets=4)
+    assert m2["buckets_run"] == 0 and m2["buckets_done"] == len(done)
+
+    # partial restart: delete one manifest -> exactly that bucket re-runs
+    victim = sorted(done)[0]
+    os.remove(os.path.join(outp, "_manifests", f"bucket={victim}.json"))
+    shutil.rmtree(os.path.join(outp, "data", f"bucket={victim}"))
+    m3 = run_job(spark, inp, outp, "pct", n_buckets=4)
+    assert m3["buckets_run"] == 1
+
+    # final output complete and correct row count
+    total = spark.read.parquet(os.path.join(outp, "data")).count()
+    assert total == len(docs_rows)
