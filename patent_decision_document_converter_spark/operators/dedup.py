@@ -1,0 +1,309 @@
+"""Large-scale deduplication operators (training-data pipeline layer).
+
+The reference converter is per-document (no cross-document ops); a 100 TB
+extraction corpus additionally needs corpus-level dedup before training.
+Every operator here is expressed with built-in Spark SQL functions (JVM-side,
+whole-stage-codegen) — NO Python UDFs — and each has a DuckDB-runnable SQL
+oracle in ``plans/contract.py``.
+
+Scale design notes (local[32] correctness, 1000-executor intent):
+
+* ``exact_dedup``      — one shuffle, on a 60-bit content hash (short key;
+  map-side partial agg makes the exchange tiny).
+* ``minhash_signatures`` — ZERO shuffle: the whole k-hash signature is a
+  nested higher-order-function expression evaluated per row (no explode, no
+  groupBy).  LSH banding then joins on (band_id, band_hash) — the only
+  shuffle, on a short composite key; at 100 TB you bucket the band table.
+* ``simhash_fingerprints`` — likewise per-row via nested ``aggregate``;
+  candidate pairs join on an 8-bit band of the fingerprint (4 buckets per
+  doc) so the self-join never goes quadratic.
+* ``ngram_jaccard_pairs`` — the shuffle-heavy exact verify; at scale you run
+  it ONLY on LSH candidates (pass ``candidates=``), never all-pairs.
+* All hashes are md5-derived (``functions.hashing``) so results are
+  deterministic and engine-portable (driver oracle parity).
+
+Thresholds are compared in integer arithmetic (``10*common >= t10*union``)
+so oracle value-hashes can never diverge on float rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+
+# ---------------------------------------------------------------------------
+# shared text normalization + shingling (pure column expressions)
+# ---------------------------------------------------------------------------
+
+
+def normalized_text(col: str = "text") -> Column:
+    """Whitespace-collapsed, trimmed, lowercased content key."""
+    return F.lower(F.trim(F.regexp_replace(F.col(col), r"\s+", " ")))
+
+
+def tokens(col: str = "text") -> Column:
+    return F.split(normalized_text(col), " ")
+
+
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles from a MATERIALIZED token-array column.
+
+    IMPORTANT (interpreted-HOF pitfall): higher-order functions are not
+    codegen'd — the lambda body is re-evaluated per element, including any
+    lambda-invariant subtree.  If ``toks`` were the raw ``split(...)``
+    expression instead of an attribute, the split would re-run once per
+    shingle index (O(n²) work per doc).  Callers must first project the
+    token array into its own select (``df.select(tokens().alias("_toks"))``)
+    so the lambda sees an attribute reference.
+    """
+    return F.when(
+        F.size(toks) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# 1. exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content hash of normalized text.
+
+    One hash shuffle on the 60-bit content key; partial aggregation
+    (min/count) runs map-side, so the exchange carries one row per distinct
+    hash per map partition.
+    """
+    return (
+        df.select(F.col(id_col), md5_long(normalized_text(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("group_size"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: array<long> of length ``num_hashes``.
+
+    signature[s] = min over shingles of md5_long(s || ':' || shingle).
+
+    Entirely a nested higher-order-function projection — no explode, no
+    shuffle, no Python.  Docs with < k tokens get an empty signature and are
+    excluded from LSH (can't be near-dups by shingling).
+
+    Tokens and shingles are materialized as intermediate columns so the
+    interpreted lambdas never re-evaluate them per element (see
+    :func:`shingles_from_tokens`).
+    """
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    shingled = toked.select(
+        F.col(id_col), shingles_from_tokens(F.col("_toks"), shingle_k).alias("_sh")
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                F.col("_sh"),
+                lambda g: F.conv(
+                    F.substring(F.md5(F.concat(s.cast("string"), F.lit(":"), g)), 1, 15),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ),
+    )
+    return shingled.select(
+        F.col(id_col),
+        F.when(F.size("_sh") > 0, sig).otherwise(F.array().cast("array<long>")).alias("signature"),
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 band of the signature.
+
+    Bands the signature per-row (still no shuffle), hashes each band to one
+    long, then self-joins on (band_id, band_hash) — a short-key equi-join
+    AQE can re-balance; at cluster scale the band table is bucket-written
+    so repeated dedup runs skip the exchange entirely.
+    """
+    rows = num_hashes // bands
+    banded = signatures.filter(F.size("signature") > 0).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: md5_long(
+                    F.concat_ws(",", F.transform(F.slice("signature", b * rows + 1, rows), lambda v: v.cast("string")))
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    # materialize before the self-join: otherwise BOTH join sides re-run the
+    # full signature lineage (hash computation is the expensive stage; the
+    # band table is tiny — id + 2 longs per band)
+    banded = banded.persist()
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. n-gram Jaccard (exact verify)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold_tenths: int = 6,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Pairs with Jaccard(shingles_a, shingles_b) >= threshold_tenths/10.
+
+    Exact set-overlap via shingle explode + self-equi-join on shingle —
+    the inverted-index formulation (shuffle keyed on shingle, never a
+    cartesian).  Threshold test is integer-only:
+    ``10*common >= t * (sa + sb - common)``.
+
+    At 100 TB this runs ONLY over LSH ``candidates`` (semi-join pushed
+    below the explode); all-pairs mode is for small corpora / oracles.
+    """
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    sh = toked.select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens(F.col("_toks"), shingle_k)).alias("shingle"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    if candidates is not None:
+        common = common.join(F.broadcast(candidates), ["id_a", "id_b"], "left_semi")
+
+    out = (
+        common.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_shingles", "sa"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_shingles", "sb"), "id_b")
+        .filter(F.col("common") * 10 >= F.lit(threshold_tenths) * (F.col("sa") + F.col("sb") - F.col("common")))
+        .select("id_a", "id_b", "common", "sa", "sb")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """32-bit SimHash per doc over distinct unigram tokens.
+
+    fp bit b = sign( sum over tokens of (+1 if bit b of md5_int32(tok) else -1) )
+
+    Computed as one nested ``aggregate`` expression per row — zero shuffle,
+    zero Python.  32 bits keeps the fingerprint portable (fits bigint).
+    """
+    toks = F.array_distinct(tokens(text_col))
+    hashes = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+    # shift-by-column isn't exposed in the Python DSL — SQL lambda form
+    # (same Catalyst HigherOrderFunction either way)
+    fp_expr = f"""
+        aggregate(sequence(0, {bits - 1}),
+                  cast(0 as bigint),
+                  (acc, b) -> acc + (CASE WHEN
+                      aggregate(_hs, cast(0 as bigint),
+                                (s, h) -> s + (CASE WHEN shiftright(h, b) % 2 = 1
+                                               THEN 1 ELSE -1 END)) > 0
+                      THEN shiftleft(cast(1 as bigint), b)
+                      ELSE cast(0 as bigint) END))
+    """
+    return df.select(F.col(id_col), hashes.alias("_hs")).select(
+        F.col(id_col), F.expr(fp_expr).alias("fingerprint")
+    )
+
+
+def simhash_near_dups(
+    fps: DataFrame, id_col: str = "doc_id", max_hamming: int = 6, bits: int = 32, band_bits: int = 8
+) -> DataFrame:
+    """Near-dup pairs with hamming(fp_a, fp_b) <= max_hamming.
+
+    Pigeonhole banding: split the 32-bit fingerprint into 4 bands of 8 bits
+    and join on (band_id, band value).  Any pair with hamming ≤ 3 is
+    guaranteed caught (4 bands, ≤3 differing bits ⇒ at least one band is
+    identical); pairs with hamming 4..max_hamming are caught when their
+    differing bits don't spread across all 4 bands — the standard
+    LSH-recall trade-off at corpus scale (raise band count for recall).
+    Join key is (band_id, 8-bit value) — never a cartesian.
+    """
+    n_bands = bits // band_bits
+    bands_expr = (
+        f"transform(sequence(0, {n_bands - 1}), "
+        f"b -> shiftright(fingerprint, b * {band_bits}) % {1 << band_bits})"
+    )
+    banded = fps.select(
+        F.col(id_col),
+        F.col("fingerprint"),
+        F.posexplode(F.expr(bands_expr)).alias("band_id", "band_val"),
+    ).persist()  # one fingerprint pass feeds both self-join sides
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.fingerprint").bitwiseXOR(F.col("b.fingerprint"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

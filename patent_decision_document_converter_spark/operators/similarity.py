@@ -1,0 +1,179 @@
+"""Embedding similarity search (ANN) over an ``array<float>`` column.
+
+Training-data pipelines need near-neighbor search over document embeddings
+(near-dup removal, retrieval eval, cluster balancing).  Three tiers:
+
+* ``cosine_topk``        — brute-force exact top-k for one query vector.
+  The cosine is a pure higher-order-function expression
+  (``zip_with`` product + left-to-right ``aggregate`` sum), whole-stage
+  codegen, no Python; the top-k is a global sort LIMIT k which Spark
+  executes as per-partition TakeOrdered + driver merge of k rows — the
+  correct distributed plan (no full sort materialized).
+* ``ivf_topk``           — the scale path: assign every vector to its
+  nearest centroid once (build side), then probe only ``n_probe``
+  centroid cells for a query.  Centroids here are per-``label`` means
+  (deterministic, oracle-checkable); on a real cluster you'd k-means with
+  ``pyspark.ml.clustering.KMeans`` and keep the same probe/search shape.
+* ``cosine_pairs``       — all-pairs above a threshold, for
+  embedding-based near-dup detection; at scale, restrict with a bucket
+  column (IVF cell / LSH band) so the self-join is per-bucket.
+
+Sum order inside ``aggregate`` is left-to-right and element order is the
+array order, so double-precision results are bit-reproducible — this is
+what lets the DuckDB oracles in ``plans/contract.py`` match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential (left-to-right) double-precision dot product."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine similarity to ``query_vec``.
+
+    Returns (rank, vec_id) with deterministic tie-break on id.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col), cosine(F.col(vec_col), q).alias("sim")
+    )
+    ranked = scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+    # row_number over the already-limited k rows — driver-side tiny window
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("sim"), F.asc(id_col))
+    return ranked.select(
+        F.row_number().over(w).alias("rank"), F.col(id_col)
+    )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Element-wise mean vector per label (the IVF cell centroids).
+
+    posexplode → groupBy(label, pos) avg → re-assemble ordered — a classic
+    two-shuffle build step that runs once per corpus snapshot and is tiny
+    (|labels| × dim rows).
+    """
+    exploded = df.select(
+        F.col(label_col), F.posexplode(_as_double(F.col(vec_col))).alias("pos", "v")
+    )
+    per_dim = exploded.groupBy(label_col, "pos").agg(F.avg("v").alias("m"))
+    return (
+        per_dim.groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: probe the ``n_probe`` centroid cells nearest the
+    query, brute-force only inside those cells.
+
+    The centroid table is tiny → broadcast join against the (pre-assigned)
+    vector table; the probed fraction bounds compute at scale.  Cells here
+    are the ``label`` partitions (deterministic stand-in for k-means cells;
+    same plan shape either way).
+    """
+    cents = label_centroids(df, label_col, vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe_labels = (
+        cents.select(label_col, cosine(F.col("centroid"), q).alias("csim"))
+        .orderBy(F.desc("csim"), F.asc(label_col))
+        .limit(n_probe)
+        .select(label_col)
+    )
+    candidates = df.join(F.broadcast(probe_labels), label_col, "inner")
+    scored = candidates.select(F.col(id_col), cosine(F.col(vec_col), q).alias("sim"))
+    from pyspark.sql import Window
+
+    ranked = scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("sim"), F.asc(id_col))
+    return ranked.select(F.row_number().over(w).alias("rank"), F.col(id_col))
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """All (id_a < id_b) pairs with cosine >= threshold.
+
+    With ``bucket_col`` the self-join is keyed on the bucket (IVF cell /
+    LSH band) — the only form that survives 100 TB.  Without it this is an
+    O(n²) verify pass for small candidate sets / oracles.
+
+    Norms are computed once per row before the join (no re-computation on
+    the quadratic side).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("v"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+        *([F.col(bucket_col).alias("bk")] if bucket_col else []),
+    ).persist()  # norms computed once, reused by both self-join sides
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if bucket_col:
+        cond = cond & (F.col("a.bk") == F.col("b.bk"))
+    sim = (
+        F.aggregate(
+            F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (F.col("a.nrm") * F.col("b.nrm"))
+    )
+    return (
+        a.join(b, cond)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b")
+    )

@@ -1,0 +1,818 @@
+"""Driver-contract query registry: Spark DataFrame queries + DuckDB oracles.
+
+Each entry in :data:`QUERIES` is ``name -> (spark_fn, oracle_sql | None)``;
+``__spark_entry__.py`` re-exports them in the driver's shape.  The driver
+runs both sides at sf=0.01 and compares row-count + schema + order-
+insensitive value-hash, so:
+
+* every computed column is aliased identically on both sides;
+* all numerics are emitted as BIGINT — money as integer cents
+  (``round(x*100)``), ratios as ``floor(scale*a/b)`` (single IEEE double
+  division + floor is bit-identical across engines) — NO raw float columns;
+* all hashes are md5-derived (``functions.hashing``), portable by bytes.
+
+The Spark side is written the way it should run on a 1000-executor
+cluster: broadcast joins for dims, per-row higher-order expressions
+instead of explodes where possible, single-purpose shuffles on short keys.
+The SQL side is the semantic spec, not the physical plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+from ..operators import dedup, similarity, textstats
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col) -> F.Column:
+    """Exact integer cents from a double money column."""
+    return F.round(col * 100).cast("long")
+
+
+_REV_CENTS = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+
+# DuckDB fragment: normalized text + whitespace tokens (mirror of
+# operators.dedup.normalized_text / tokens — NOTE the 'g' flag: DuckDB
+# regexp_replace is single-match by default, Spark's is global).
+_SQL_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_SQL_TOKS = f"string_split({_SQL_NORM}, ' ')"
+# textstats.ws_tokens mirror: NOT lowercased, empty text → empty list
+_SQL_WSTRIM = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+_SQL_WSTOKS = (
+    f"CASE WHEN len({_SQL_WSTRIM}) > 0 THEN string_split({_SQL_WSTRIM}, ' ') "
+    "ELSE CAST([] AS VARCHAR[]) END"
+)
+_SQL_H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+_SQL_H32 = "CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == vec_id).select("embedding").head()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+# ---------------------------------------------------------------------------
+# relational coverage (TPC-H-shaped)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with map-side partial agg.
+    Filter + 7-column projection push down to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")).alias(
+                "sum_disc_cents"
+            ),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)                 AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM({_REV_CENTS}) AS BIGINT)                               AS sum_disc_cents,
+       COUNT(*)                                                        AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: dim-filtered 3-way join + top-k.  Customer side is
+    small after the segment filter → broadcast; top-10 is TakeOrdered (no
+    global sort materialization)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")).alias(
+                "revenue_cents"
+            )
+        )
+        .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_SQL = f"""
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d')   AS orderdate,
+       CAST(SUM({_REV_CENTS}) AS BIGINT)   AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+ORDER BY revenue_cents DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-table star join: fact (lineitem) joins only broadcast dims — zero
+    shuffle until the final small groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_REV_NATION_SQL = f"""
+SELECT r_name, n_name,
+       CAST(SUM({_REV_CENTS}) AS BIGINT) AS revenue_cents,
+       COUNT(*)                          AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey  = o_orderkey
+JOIN customer ON o_custkey   = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-1 per group: aggregate then rank inside nation partitions.
+    The window runs on the already-shuffled aggregate (tiny)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    spend = orders.groupBy("o_custkey").agg(_sum_cents_totalprice().alias("spend_cents"))
+    ranked = (
+        cust.join(spend, cust.c_custkey == spend.o_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("n_name").orderBy(F.desc("spend_cents"), F.asc("c_custkey"))
+            ),
+        )
+    )
+    return ranked.filter(F.col("rn") == 1).select("n_name", "c_custkey", "spend_cents")
+
+
+def _sum_cents_totalprice() -> F.Column:
+    return F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+
+
+_TOP_CUST_SQL = """
+WITH spend AS (
+  SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT n_name, c_custkey, spend_cents,
+         ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY spend_cents DESC, c_custkey) AS rn
+  FROM customer
+  JOIN spend  ON c_custkey = o_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT n_name, c_custkey, spend_cents FROM ranked WHERE rn = 1
+"""
+
+
+def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-style left-semi join (orders with any late-shipped item)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+_ORDER_PRIO_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# events: sessionization, windowed aggregation, JSON extraction
+# ---------------------------------------------------------------------------
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag over
+    (user_id, ts) then a running sum of session starts — single shuffle on
+    user_id; the streaming twin uses session windows with watermarks."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; session tz is UTC so the cast is exact
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gapped = ev.withColumn(
+        "new_session",
+        F.when((us - F.lag(us).over(w)) > 1800 * 1_000_000, 1).otherwise(0)
+        + F.when(F.lag(us).over(w).isNull(), 1).otherwise(0),
+    )
+    return gapped.groupBy("user_id").agg(
+        F.sum("new_session").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+_SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000 THEN 1 ELSE 0 END
+         + CASE WHEN LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate (batch form of the streaming windowed agg)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000).cast("long")).alias("sum_value_milli"),
+        )
+    )
+
+
+_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured projection: JSON path extraction stays JVM-side."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select((k - F.pmod(k, F.lit(10))).alias("k_bucket"))
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_JSON_SQL = """
+SELECT k - (k % 10) AS k_bucket, COUNT(*) AS n
+FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# SURVEY §2.9 relational analogs
+# ---------------------------------------------------------------------------
+
+
+def run_compress_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length compression of consecutive integers — the relational
+    variant of compressNumbers (reference js/paragraphExtraction.js:30-50):
+    dedupe → sort → islands via key - row_number → min/max/count."""
+    li = _t(spark, sf_dir, "lineitem")
+    keys = li.select("l_orderkey").distinct()
+    w = Window.orderBy("l_orderkey")
+    runs = keys.withColumn("grp", F.col("l_orderkey") - F.row_number().over(w))
+    return (
+        runs.groupBy("grp")
+        .agg(
+            F.min("l_orderkey").alias("run_start"),
+            F.max("l_orderkey").alias("run_end"),
+            F.count("*").alias("run_len"),
+        )
+        .select("run_start", "run_end", "run_len")
+    )
+
+
+_RUN_COMPRESS_SQL = """
+WITH k AS (SELECT DISTINCT l_orderkey FROM lineitem),
+r AS (SELECT l_orderkey,
+             l_orderkey - ROW_NUMBER() OVER (ORDER BY l_orderkey) AS grp
+      FROM k)
+SELECT MIN(l_orderkey) AS run_start, MAX(l_orderkey) AS run_end, COUNT(*) AS run_len
+FROM r GROUP BY grp
+"""
+
+
+def doc_token_restitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode → window-order → re-stitch invariant (the north-rule span
+    re-stitch, demonstrated relationally): tokens exploded with position,
+    re-assembled with sort_array(collect_list(struct(pos,tok))), and the
+    md5 of the re-stitched text must equal the md5 of the normalized
+    original for every document."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = dedup.normalized_text("text")
+    exploded = docs.select(
+        "doc_id",
+        md5_long(norm).alias("orig_hash"),
+        F.posexplode(F.split(norm, " ")).alias("pos", "tok"),
+    )
+    return (
+        exploded.groupBy("doc_id", "orig_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            md5_long(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+                    ),
+                )
+            ).alias("restitch_hash"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "restitch_hash",
+            F.when(F.col("restitch_hash") == F.col("orig_hash"), 1).otherwise(0).cast("long").alias("matches"),
+        )
+    )
+
+
+_RESTITCH_SQL = f"""
+WITH t AS (SELECT doc_id, {_SQL_NORM} AS norm FROM documents),
+tok AS (SELECT doc_id,
+               unnest(string_split(norm, ' ')) AS tok,
+               unnest(range(1, len(string_split(norm, ' ')) + 1)) AS pos
+        FROM t)
+SELECT tok.doc_id,
+       COUNT(*) AS n_tokens,
+       {_SQL_H60.format(x="string_agg(tok, ' ' ORDER BY pos)")} AS restitch_hash,
+       CAST(CASE WHEN {_SQL_H60.format(x="string_agg(tok, ' ' ORDER BY pos)")}
+                 = {_SQL_H60.format(x="any_value(norm)")} THEN 1 ELSE 0 END AS BIGINT) AS matches
+FROM tok JOIN t ON tok.doc_id = t.doc_id
+GROUP BY tok.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup suite (operators.dedup)
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_DEDUP_EXACT_SQL = f"""
+WITH h AS (SELECT doc_id, {_SQL_H60.format(x=_SQL_NORM)} AS content_hash FROM documents)
+SELECT content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size
+FROM h GROUP BY content_hash
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dedup.minhash_signatures(_t(spark, sf_dir, "documents"))
+    return dedup.minhash_lsh_candidates(sigs)
+
+
+_MINHASH_SQL = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(1, len(toks) + 1)) AS pos FROM t),
+sh0 AS (SELECT doc_id,
+               tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+mh AS (SELECT doc_id, seed,
+              MIN({_SQL_H60.format(x="CAST(seed AS VARCHAR) || ':' || shingle")}) AS mh
+       FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) GROUP BY doc_id, seed),
+band AS (SELECT doc_id, seed // 4 AS band_id,
+                {_SQL_H60.format(x="string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)")} AS band_hash
+         FROM mh GROUP BY doc_id, seed // 4)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM band a JOIN band b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+def dedup_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard machinery: pairs sharing ≥2 shingles with the exact
+    integer overlap stats (common, |A|, |B|) — thresholding is then pure
+    integer arithmetic (10*common >= t*(sa+sb-common))."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold_tenths=0
+    )
+    return pairs.filter(F.col("common") >= 2)
+
+
+_SHINGLE_OVERLAP_SQL = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(1, len(toks) + 1)) AS pos FROM t),
+sh0 AS (SELECT doc_id,
+               tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b, common, sa.n AS sa, sb.n AS sb
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE common >= 2
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+_SIMHASH_SQL = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+tk AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t),
+th AS (SELECT doc_id, {_SQL_H32.format(x="tok")} AS h FROM tk),
+bits AS (SELECT doc_id, b,
+                SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         FROM th CROSS JOIN (SELECT unnest(range(32)) AS b) GROUP BY doc_id, b)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS fingerprint
+FROM bits GROUP BY doc_id
+"""
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = dedup.simhash_fingerprints(_t(spark, sf_dir, "documents"))
+    out = dedup.simhash_near_dups(fps)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+_SIMHASH_PAIRS_SQL = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+tk AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t),
+th AS (SELECT doc_id, {_SQL_H32.format(x="tok")} AS h FROM tk),
+bits AS (SELECT doc_id, b,
+                SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         FROM th CROSS JOIN (SELECT unnest(range(32)) AS b) GROUP BY doc_id, b),
+fp AS (SELECT doc_id,
+              CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS fingerprint
+       FROM bits GROUP BY doc_id),
+band AS (SELECT doc_id, fingerprint, b AS band_id,
+                (fingerprint >> CAST(b * 8 AS INTEGER)) & 255 AS band_val
+         FROM fp CROSS JOIN (SELECT unnest(range(4)) AS b))
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS BIGINT) AS hamming
+FROM band a JOIN band b
+  ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 6
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.425)
+
+
+_EMB_DUP_SQL = """
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM e)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= 0.425
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _query_vec(spark, sf_dir, 0)
+    out = similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), q, k=10)
+    return out.select(F.col("rank").cast("long").alias("rank"), "vec_id")
+
+
+_ANN_BF_SQL = """
+WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id = 0),
+qn AS (SELECT qv, sqrt(list_sum(list_transform(qv, x -> x * x))) AS qnrm FROM q),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+s AS (SELECT vec_id,
+             list_sum(list_transform(range(1, 65), i -> v[i] * qv[i]))
+               / (sqrt(list_sum(list_transform(v, x -> x * x))) * qnrm) AS sim
+      FROM e CROSS JOIN qn)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank, vec_id
+FROM s ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _query_vec(spark, sf_dir, 0)
+    out = similarity.ivf_topk(_t(spark, sf_dir, "embeddings"), q, k=10, n_probe=2)
+    return out.select(F.col("rank").cast("long").alias("rank"), "vec_id")
+
+
+_ANN_IVF_SQL = """
+WITH e AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+qn AS (SELECT qv, sqrt(list_sum(list_transform(qv, x -> x * x))) AS qnrm FROM q),
+dim AS (SELECT label, unnest(v) AS val, unnest(range(1, 65)) AS pos FROM e),
+cdim AS (SELECT label, pos, AVG(val) AS m FROM dim GROUP BY label, pos),
+cent AS (SELECT label, list(m ORDER BY pos) AS centroid FROM cdim GROUP BY label),
+probe AS (SELECT label
+          FROM cent CROSS JOIN qn
+          ORDER BY list_sum(list_transform(range(1, 65), i -> centroid[i] * qv[i]))
+                   / (sqrt(list_sum(list_transform(centroid, x -> x * x))) * qnrm) DESC, label
+          LIMIT 2),
+s AS (SELECT vec_id,
+             list_sum(list_transform(range(1, 65), i -> v[i] * qv[i]))
+               / (sqrt(list_sum(list_transform(v, x -> x * x))) * qnrm) AS sim
+      FROM e CROSS JOIN qn
+      WHERE label IN (SELECT label FROM probe))
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank, vec_id
+FROM s ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis suite (operators.textstats)
+# ---------------------------------------------------------------------------
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = textstats.token_stats(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("sum_tok_len").cast("long").alias("sum_tok_len"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+# BPE-ish token count in RE2 (no lookaround): tokens are maximal runs of
+# [alpha] | [digit] | [non-alnum-non-space]; count runs by class-mapping
+# then collapsing repeats (backreference-free).
+_BPE_SQL = (
+    "len(replace("
+    "regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,"
+    "'[a-zA-Z]', 'a', 'g'), '[0-9]', '0', 'g'), '\\s', ' ', 'g'), '[^a0 ]', '.', 'g'),"
+    "'a+', 'a', 'g'), '0+', '0', 'g'), '\\.+', '.', 'g'), ' ', ''))"
+)
+
+_TOKEN_STATS_SQL = f"""
+WITH t AS (SELECT doc_id, text, {_SQL_WSTOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT)                   AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT)    AS n_distinct,
+       CAST(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT) AS sum_tok_len,
+       CAST({_BPE_SQL} AS BIGINT)                  AS n_bpe_tokens
+FROM t
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(_t(spark, sf_dir, "documents"))
+
+
+_LANG_ID_SQL = f"""
+WITH t AS (SELECT doc_id, text, list_distinct({_SQL_WSTOKS}) AS dt FROM documents),
+s AS (SELECT doc_id, text,
+             len(list_intersect(dt, ['der','die','und','nicht','ist'])) AS s_de,
+             len(list_intersect(dt, ['the','and','of','a','is']))       AS s_en,
+             len(list_intersect(dt, ['el','la','que','los','es']))      AS s_es,
+             len(list_intersect(dt, ['le','la','et','les','est']))      AS s_fr
+      FROM t)
+SELECT doc_id,
+       CASE WHEN len(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}\\x{{3040}}-\\x{{30ff}}]', '', 'g')) * 5 > len(text)
+            THEN 'zh'
+            WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unk'
+            WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM s
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+_QUALITY_SQL = f"""
+WITH t AS (SELECT doc_id, text, {_SQL_WSTOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(text) AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN len(toks) > 0
+                 THEN floor(1000.0 * len(list_distinct(toks)) / len(toks)) ELSE 0 END AS BIGINT) AS distinct_permille,
+       CAST(CASE WHEN len(toks) > 0
+                 THEN floor(10.0 * list_sum(list_transform(toks, x -> len(x))) / len(toks)) ELSE 0 END AS BIGINT) AS mean_tok_len_x10,
+       CAST(CASE WHEN len(text) > 0
+                 THEN floor(1000.0 * len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / len(text)) ELSE 0 END AS BIGINT) AS alpha_permille
+FROM t
+"""
+
+
+def text_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = textstats.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_fingerprints").cast("long").alias("n_fingerprints"),
+        "min_fp",
+        "max_fp",
+        "fp_set_hash",
+    )
+
+
+_WINNOW_SQL = f"""
+WITH t AS (SELECT doc_id, {_SQL_WSTOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(1, len(toks) + 1)) AS pos FROM t),
+g AS (SELECT doc_id, pos,
+             tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w || ' ' || LEAD(tok, 3) OVER w AS gram
+      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+h AS (SELECT doc_id, pos, {_SQL_H60.format(x="gram")} AS hash,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM g WHERE gram IS NOT NULL),
+m AS (SELECT doc_id, pos,
+             CASE WHEN n_grams >= 5
+                  THEN MIN(hash) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+                  ELSE hash END AS fp,
+             n_grams,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+      FROM h),
+keep AS (SELECT DISTINCT doc_id, fp FROM m WHERE n_grams < 5 OR rn <= n_grams - 4)
+SELECT doc_id,
+       COUNT(*)  AS n_fingerprints,
+       MIN(fp)   AS min_fp,
+       MAX(fp)   AS max_fp,
+       {_SQL_H60.format(x="string_agg(CAST(fp AS VARCHAR), ',' ORDER BY fp)")} AS fp_set_hash
+FROM keep GROUP BY doc_id
+"""
+
+
+def text_doubled_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = textstats.doubled_token_counts(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", F.col("n_doubled").cast("long").alias("n_doubled"))
+
+
+_DOUBLED_SQL = f"""
+WITH t AS (SELECT doc_id, {_SQL_WSTOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(1, len(toks) + 1)) AS pos FROM t),
+flag AS (SELECT doc_id,
+                CASE WHEN tok = LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                     THEN 1 ELSE 0 END AS d
+         FROM tok)
+SELECT doc_id, CAST(SUM(d) AS BIGINT) AS n_doubled
+FROM flag GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# conversion engine (non-SQL-expressible → rows-only driver check)
+# ---------------------------------------------------------------------------
+
+
+def _docs_as_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap the flat documents table into the interleaved spans schema."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+
+
+def convert_office_action(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship conversion: full officeAction pipeline (23 fused filter
+    steps + typo findings) via one mapInPandas stage.  Not SQL-expressible
+    (per-document state machines + trie) → rows-only driver check."""
+    from .job import convert_documents
+
+    out = convert_documents(_docs_as_spans(spark, sf_dir), mode="officeAction")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_spans_out").cast("long").alias("n_spans_out"),
+        F.md5(F.col("spans")[0]["text"]).alias("out_md5"),
+        F.size("findings").cast("long").alias("n_findings"),
+    )
+
+
+def convert_html_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span classifier (to_HTML-equivalent) over the corpus — emits the
+    classified-output digest per doc.  Rows-only driver check."""
+    from .job import convert_documents
+
+    out = convert_documents(_docs_as_spans(spark, sf_dir), mode="html")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.col("spans")[0]["text"]).alias("html_md5"),
+        F.length(F.col("spans")[0]["text"]).cast("long").alias("html_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # relational coverage
+    "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
+    "q3_top_orders": (q3_top_orders, _Q3_SQL),
+    "revenue_by_nation": (revenue_by_nation, _REV_NATION_SQL),
+    "top_customer_per_nation": (top_customer_per_nation, _TOP_CUST_SQL),
+    "order_priority_count": (order_priority_count, _ORDER_PRIO_SQL),
+    "events_sessionize": (events_sessionize, _SESSIONIZE_SQL),
+    "events_hourly": (events_hourly, _HOURLY_SQL),
+    "events_json_extract": (events_json_extract, _JSON_SQL),
+    # SURVEY §2.9 relational analogs
+    "run_compress_orderkeys": (run_compress_orderkeys, _RUN_COMPRESS_SQL),
+    "doc_token_restitch": (doc_token_restitch, _RESTITCH_SQL),
+    # dedup suite
+    "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, _MINHASH_SQL),
+    "dedup_shingle_overlap": (dedup_shingle_overlap, _SHINGLE_OVERLAP_SQL),
+    "dedup_simhash": (dedup_simhash, _SIMHASH_SQL),
+    "dedup_simhash_pairs": (dedup_simhash_pairs, _SIMHASH_PAIRS_SQL),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, _EMB_DUP_SQL),
+    # similarity search
+    "ann_topk_bruteforce": (ann_topk_bruteforce, _ANN_BF_SQL),
+    "ann_topk_ivf": (ann_topk_ivf, _ANN_IVF_SQL),
+    # text analysis
+    "text_token_stats": (text_token_stats, _TOKEN_STATS_SQL),
+    "text_lang_id": (text_lang_id, _LANG_ID_SQL),
+    "text_quality": (text_quality, _QUALITY_SQL),
+    "text_winnow_fp": (text_winnow_fp, _WINNOW_SQL),
+    "text_doubled_tokens": (text_doubled_tokens, _DOUBLED_SQL),
+    # conversion engine (rows-only)
+    "convert_office_action": (convert_office_action, None),
+    "convert_html_spans": (convert_html_spans, None),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
