@@ -1,0 +1,149 @@
+"""Per-round benchmark: headline queries + conversion throughput.
+
+Runs the contract's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and the flagship
+conversion job on a deterministic synthetic interleaved documents table,
+then prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "conversion": {docs, spans, docs_per_sec, spans_per_sec}}
+
+Query selection = the scale-representative subset (per-row expression
+pipelines, broadcast star joins, windowed aggs, LSH dedup, ANN, text
+suite).  The intentionally quadratic verify ops (all-pairs cosine /
+simhash pair join on this vocabulary-degenerate corpus) are exercised at
+sf0.01 by the correctness gate instead — at 100 TB those only ever run
+per-bucket.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from patent_decision_document_converter_spark.plans import contract  # noqa: E402
+from patent_decision_document_converter_spark.plans.job import convert_documents  # noqa: E402
+from patent_decision_document_converter_spark.sources.generator import (  # noqa: E402
+    make_documents_rows,
+)
+from patent_decision_document_converter_spark.sources.documents import (  # noqa: E402
+    DOCUMENTS_SCHEMA,
+)
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "revenue_by_nation",
+    "top_customer_per_nation",
+    "order_priority_count",
+    "events_sessionize",
+    "events_hourly",
+    "events_json_extract",
+    "run_compress_orderkeys",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_shingle_overlap",
+    "dedup_simhash",
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "text_token_stats",
+    "text_quality",
+    "text_winnow_fp",
+    "text_doubled_tokens",
+]
+
+N_BENCH_DOCS = 3000
+BENCH_SEED = 42
+
+
+def get_spark(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.appName("bench")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def bench_conversion(spark: SparkSession, cpus: int, n_docs: int = N_BENCH_DOCS) -> dict:
+    """Flagship conversion throughput on the interleaved documents table
+    (seeded generator: permuted span order, interleaved media, megadoc
+    tail) — docs/sec + spans/sec, fully materialized via count+sum."""
+    rows = make_documents_rows(n_docs, seed=BENCH_SEED)
+    df = spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA).repartition(cpus * 4, "doc_id")
+    df = df.persist()
+    n_spans_in = df.select(F.sum(F.size("spans"))).head()[0]  # warm the cache
+    # steady-state: python workers (fork+imports+trie) live per-executor on
+    # a real cluster — warm them before timing
+    convert_documents(df.limit(32 * cpus), mode="officeAction").select(F.count("*")).head()
+    t0 = time.time()
+    out = convert_documents(df, mode="officeAction")
+    agg = out.select(
+        F.count("*").alias("docs"), F.sum("n_spans_out").alias("spans")
+    ).head()
+    dt = time.time() - t0
+    df.unpersist()
+    return {
+        "docs": int(agg["docs"]),
+        "spans_in": int(n_spans_in),
+        "spans_out": int(agg["spans"]),
+        "sec": round(dt, 3),
+        "docs_per_sec": round(agg["docs"] / dt, 1),
+        "spans_per_sec": round(n_spans_in / dt, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    spark = get_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qtimes: dict[str, float] = {}
+    qs = contract.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        qtimes[name] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    conv = contract.convert_office_action(spark, sf_dir)
+    conv.count()
+    qtimes["convert_office_action"] = round(time.time() - t0, 3)
+
+    conversion = bench_conversion(spark, cpus)
+
+    total = round(sum(qtimes.values()) + conversion["sec"], 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_conversion_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": sf,
+                "cpus": cpus,
+                "conversion": conversion,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
