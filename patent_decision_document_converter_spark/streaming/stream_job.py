@@ -1,0 +1,168 @@
+"""Structured Streaming surface of the engine.
+
+Three streaming shapes a continuously-ingesting extraction corpus needs:
+
+* ``convert_stream`` — the conversion pipeline itself as a streaming
+  query: ``readStream`` over arriving document files → the SAME fused
+  mapInPandas stage the batch job uses (stateless per row, so it is
+  trivially streamable) → parquet sink with checkpointing.  Batch and
+  stream share one code path; the driver restarts resume from the sink
+  checkpoint (exactly-once file sink).
+* ``events_hourly_stream`` — watermarked tumbling-window aggregation
+  (the streaming twin of the ``events_hourly`` contract query): late
+  events beyond the watermark are dropped, windows finalize in append
+  mode.
+* ``sessionize_stream`` — custom stateful operator via
+  ``applyInPandasWithState``: per-user session counting with a 30-min
+  inactivity gap, state = (last_ts_us, n_sessions, n_events), processing
+  side is Arrow-batched pandas (no per-row Python against the stream).
+
+All entry points accept any streaming DataFrame source; helpers below
+bind them to parquet directories for tests/local runs with the
+``availableNow`` trigger (process-everything-then-stop — the batch-parity
+mode).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..plans.job import convert_documents
+from ..sources.documents import DOCUMENTS_SCHEMA
+
+SESSION_GAP_US = 1800 * 1_000_000
+
+
+def read_documents_stream(spark: SparkSession, input_path: str, max_files: int = 8) -> DataFrame:
+    """File-arrival stream over a documents directory (schema fixed —
+    streaming sources require it).  ``maxFilesPerTrigger`` bounds
+    micro-batch size the way Arrow batch caps bound memory."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(input_path)
+    )
+
+
+def convert_stream(docs: DataFrame, mode: str = "officeAction") -> DataFrame:
+    """The conversion pipeline on a streaming DataFrame — identical
+    mapInPandas stage as the batch job (stateless ⇒ streamable as-is)."""
+    return convert_documents(docs, mode=mode)
+
+
+def start_convert_sink(
+    out: DataFrame, output_path: str, checkpoint_path: str, available_now: bool = True
+):
+    """Checkpointed exactly-once parquet sink for the converted stream."""
+    w = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def events_hourly_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window count/sum per event type (append-mode
+    finalizing windows; late data beyond the watermark dropped)."""
+    ts = F.col("ts").cast("timestamp")
+    return (
+        events.withColumn("ts", ts)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000).cast("long")).alias("sum_value_milli"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value_milli",
+        )
+    )
+
+
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts_us", LongType()),
+        StructField("n_sessions", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_sessions", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _sessionize_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Gap-based session counter.  State carries (last_ts_us, n_sessions,
+    n_events) across micro-batches; within a batch events are sorted by
+    (ts, event_id) — same total order as the batch sessionize query."""
+    if state.exists:
+        last_ts, n_sessions, n_events = state.get
+    else:
+        last_ts, n_sessions, n_events = None, 0, 0
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts in pdf["ts"]:
+            ts_us = int(ts.value // 1000)  # pandas ns -> us
+            if last_ts is None or ts_us - last_ts > SESSION_GAP_US:
+                n_sessions += 1
+            last_ts = ts_us
+            n_events += 1
+    state.update((last_ts, n_sessions, n_events))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+    )
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: running per-user session/event
+    totals via applyInPandasWithState (update mode)."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stream_to_memory(out: DataFrame, query_name: str, output_mode: str = "update"):
+    """Test helper: drain a stream into an in-memory table with
+    availableNow and block until done."""
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,121 @@
+"""Structured Streaming tests: batch/stream parity of the conversion
+pipeline, watermarked windowed aggregation, custom stateful sessionize."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from patent_decision_document_converter_spark.plans.job import convert_documents, get_spark
+from patent_decision_document_converter_spark.sources.documents import create_documents_df
+from patent_decision_document_converter_spark.sources.generator import make_documents_rows
+from patent_decision_document_converter_spark.streaming import stream_job
+
+
+@pytest.fixture(scope="module")
+def spark():
+    yield get_spark(app_name="pytest-streaming", master="local[4]", shuffle_partitions=4)
+
+
+def test_convert_stream_matches_batch(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("stream"))
+    inp = os.path.join(base, "in")
+    outp = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+
+    rows = make_documents_rows(40, seed=5, mega_frac=0.0)
+    create_documents_df(spark, rows).repartition(4).write.parquet(inp)
+
+    docs = stream_job.read_documents_stream(spark, inp, max_files=2)
+    assert docs.isStreaming
+    q = stream_job.start_convert_sink(
+        stream_job.convert_stream(docs, "pct"), outp, ckpt
+    )
+    q.awaitTermination()
+
+    got = {
+        r["doc_id"]: r.asDict(recursive=True)
+        for r in spark.read.parquet(outp).collect()
+    }
+    want = {
+        r["doc_id"]: r.asDict(recursive=True)
+        for r in convert_documents(create_documents_df(spark, rows), "pct").collect()
+    }
+    assert got == want  # exact batch/stream parity (same fused stage)
+
+    # restart with no new files: checkpoint resumes, no duplicate output
+    q2 = stream_job.start_convert_sink(
+        stream_job.convert_stream(stream_job.read_documents_stream(spark, inp), "pct"),
+        outp,
+        ckpt,
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(outp).count() == len(rows)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Streaming file sources need a directory — stage the events file."""
+    import shutil
+
+    d = str(tmp_path_factory.mktemp("events_src"))
+    shutil.copy("/root/testdata/sf0.001/events.parquet", os.path.join(d, "part-0.parquet"))
+    return d
+
+
+def test_events_hourly_stream_matches_batch(spark, events_dir):
+    src = "/root/testdata/sf0.001/events.parquet"
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    out = stream_job.events_hourly_stream(stream)
+    stream_job.run_stream_to_memory(out, "hourly_test", output_mode="append")
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value_milli"])
+        for r in spark.sql("SELECT * FROM hourly_test").collect()
+    }
+
+    ev = spark.read.parquet(src)
+    want = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value_milli"])
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts").cast("timestamp")), "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000).cast("long")).alias("sum_value_milli"),
+        )
+        .collect()
+    }
+    # availableNow + watermark: all but the trailing (unfinalized) windows
+    # must match the batch result exactly
+    assert got
+    for k, v in got.items():
+        assert want[k] == v
+    missing = set(want) - set(got)
+    if missing:  # only the newest windows may still be open
+        max_done = max(h for h, _ in got)
+        assert all(h >= max_done for h, _ in missing)
+
+
+def test_sessionize_stream_matches_batch(spark, events_dir):
+    src = "/root/testdata/sf0.001/events.parquet"
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    out = stream_job.sessionize_stream(stream)
+    stream_job.run_stream_to_memory(out, "sess_test", output_mode="update")
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in spark.sql(
+            "SELECT user_id, last(n_sessions) AS n_sessions, last(n_events) AS n_events "
+            "FROM sess_test GROUP BY user_id"
+        ).collect()
+    }
+
+    from patent_decision_document_converter_spark.plans.contract import events_sessionize
+
+    want = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in events_sessionize(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == want

@@ -1,0 +1,310 @@
+"""Training-data pipeline operator tests: dedup, similarity search,
+text analysis, multimodal plumbing (SURVEY.md §2.13 build-plan layer).
+
+Semantic checks against plain-Python/numpy oracles on small constructed
+inputs — the DuckDB value-hash parity for these operators is covered by
+tools/check_contract.py / the driver's CORRECTNESS gate.
+"""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from patent_decision_document_converter_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
+from patent_decision_document_converter_spark.plans.job import get_spark
+from patent_decision_document_converter_spark.sources.documents import create_documents_df
+from patent_decision_document_converter_spark.sources.generator import make_documents_rows
+
+
+@pytest.fixture(scope="module")
+def spark():
+    yield get_spark(app_name="pytest-training-ops", master="local[4]", shuffle_partitions=4)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+        (3, "THE  quick   Brown fox jumps over the lazy dog"),       # dup after normalize
+        (4, "the quick brown fox jumps over the sleepy dog"),        # near-dup (1 token)
+        (5, "completely different content about spark engines here"),
+        (6, "a b"),                                                   # too short to shingle
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup_groups(docs):
+    out = {r["content_hash"]: r for r in dedup.exact_dedup(docs).collect()}
+    groups = sorted((r["group_size"], r["canonical_id"]) for r in out.values())
+    # docs 1,2,3 collapse into one group of 3 with canonical id 1
+    assert (3, 1) in groups
+    assert sum(g for g, _ in groups) == 6
+
+
+def test_minhash_identical_docs_identical_signatures(docs):
+    sigs = {r["doc_id"]: list(r["signature"]) for r in dedup.minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2] == sigs[3]
+    assert len(sigs[1]) == 16
+    assert sigs[6] == []  # < 3 tokens -> no shingles
+    # near-dup shares most minhashes, disjoint doc shares none
+    shared_near = sum(a == b for a, b in zip(sigs[1], sigs[4]))
+    shared_far = sum(a == b for a, b in zip(sigs[1], sigs[5]))
+    assert shared_near > shared_far
+
+
+def test_minhash_lsh_candidates_catch_dups(docs):
+    sigs = dedup.minhash_signatures(docs)
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_candidates(sigs).collect()}
+    assert {(1, 2), (1, 3), (2, 3)} <= pairs
+    assert (1, 5) not in pairs
+
+
+def test_ngram_jaccard_exact_values(docs):
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in dedup.ngram_jaccard_pairs(docs, threshold_tenths=0).collect()
+    }
+    r = out[(1, 2)]
+    assert r["common"] == r["sa"] == r["sb"] == 7  # 9 tokens -> 7 3-gram shingles
+    # candidates restriction drops non-listed pairs
+    cand = docs.sparkSession.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    only = dedup.ngram_jaccard_pairs(docs, threshold_tenths=0, candidates=cand).collect()
+    assert {(r["id_a"], r["id_b"]) for r in only} == {(1, 2)}
+
+
+def test_simhash_fingerprints_and_pairs(docs):
+    fps = {r["doc_id"]: r["fingerprint"] for r in dedup.simhash_fingerprints(docs).collect()}
+    assert fps[1] == fps[2] == fps[3]  # same distinct-token set
+    assert 0 <= fps[1] < (1 << 32)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_dups(dedup.simhash_fingerprints(docs)).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    # near-dup doc 4 should be within small hamming of doc 1
+    assert pairs.get((1, 4), 99) <= 6
+
+
+def test_simhash_matches_python_oracle(docs):
+    """Bit-exact python re-implementation of the fingerprint."""
+    rows = {r["doc_id"]: r["fingerprint"] for r in dedup.simhash_fingerprints(docs).collect()}
+    texts = dict(docs.collect())
+    for doc_id, text in texts.items():
+        toks = []
+        for t in " ".join(text.split()).lower().split(" "):
+            if t not in toks:
+                toks.append(t)
+        fp = 0
+        for b in range(32):
+            s = 0
+            for t in toks:
+                h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+                s += 1 if (h >> b) & 1 else -1
+            if s > 0:
+                fp |= 1 << b
+        assert rows[doc_id] == fp, doc_id
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(40):
+        label = i % 4
+        center = np.zeros(8)
+        center[label * 2] = 3.0
+        v = center + rng.normal(0, 0.4, 8)
+        rows.append((i, [float(x) for x in v], label))
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"]), rows
+
+
+def test_cosine_topk_matches_numpy(vectors):
+    import numpy as np
+
+    df, rows = vectors
+    q = rows[0][1]
+    got = [r["vec_id"] for r in similarity.cosine_topk(df, q, k=5).orderBy("rank").collect()]
+    V = np.array([r[1] for r in rows])
+    qv = np.array(q)
+    sims = (V @ qv) / (np.linalg.norm(V, axis=1) * np.linalg.norm(qv))
+    expected = [int(i) for i in np.lexsort((np.arange(len(sims)), -sims))[:5]]
+    assert got == expected
+
+
+def test_ivf_topk_probes_right_cells(vectors):
+    df, rows = vectors
+    q = rows[0][1]  # label-0 cluster
+    got = [r["vec_id"] for r in similarity.ivf_topk(df, q, k=5, n_probe=1).orderBy("rank").collect()]
+    # with 1 probe, all results come from the query's own cluster (label 0)
+    labels = {r[0]: r[2] for r in rows}
+    assert all(labels[i] == 0 for i in got)
+    assert got[0] == 0  # the query vector itself
+
+
+def test_cosine_pairs_threshold_and_bucket(vectors):
+    df, rows = vectors
+    pairs = {(r["id_a"], r["id_b"]) for r in similarity.cosine_pairs(df, 0.9).collect()}
+    assert pairs  # same-cluster vectors are highly similar
+    labels = {r[0]: r[2] for r in rows}
+    assert all(labels[a] == labels[b] for a, b in pairs)  # clusters are tight
+    bucketed = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_pairs(df, 0.9, bucket_col="label").collect()
+    }
+    assert bucketed == pairs  # bucketing by true cluster loses nothing here
+
+
+# ---------------------------------------------------------------------------
+# textstats
+# ---------------------------------------------------------------------------
+
+
+def test_token_stats_values(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world hello"), (2, "a-b 12x"), (3, "")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in textstats.token_stats(df).collect()}
+    assert out[1]["n_tokens"] == 3 and out[1]["n_distinct"] == 2
+    assert out[1]["sum_tok_len"] == 15
+    # "a-b 12x" -> BPE-ish: a | - | b | 12 | x
+    assert out[2]["n_bpe_tokens"] == 5
+    assert out[3]["n_tokens"] == 0 and out[3]["sum_tok_len"] == 0
+
+
+def test_lang_id_paths(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a house is here"),
+            (2, "der Hund und die Katze ist nicht hier"),
+            (3, "これは日本語の文書です特許请求"),
+            (4, "zzz qqq xxx"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in textstats.lang_id(df).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "zh" and out[4] == "unk"
+
+
+def test_quality_scores_integer_scaling(spark):
+    df = spark.createDataFrame([(1, "aa bb aa")], ["doc_id", "text"])
+    r = textstats.quality_scores(df).head()
+    assert r["n_chars"] == 8 and r["n_tokens"] == 3
+    assert r["distinct_permille"] == math.floor(1000 * 2 / 3)
+    assert r["mean_tok_len_x10"] == math.floor(10 * 6 / 3)
+    assert r["alpha_permille"] == math.floor(1000 * 6 / 8)
+
+
+def test_winnow_fingerprints_shift_invariance(spark):
+    """Winnowing is robust to content shifts: inserting a prefix far from
+    a region keeps that region's fingerprints in the selected set."""
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+    df = spark.createDataFrame(
+        [(1, base), (2, "zz0 zz1 zz2 zz3 zz4 zz5 zz6 zz7 " + base)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in textstats.winnow_fingerprints(df).collect()}
+    assert out[1]["n_fingerprints"] > 0
+    # doc 2 contains doc 1 -> shares most of doc 1's fingerprint set is not
+    # directly exposed; assert determinism + non-degenerate digest instead
+    again = {r["doc_id"]: r for r in textstats.winnow_fingerprints(df).collect()}
+    assert out[1]["fp_set_hash"] == again[1]["fp_set_hash"]
+    assert out[1]["min_fp"] <= out[1]["max_fp"]
+
+
+def test_doubled_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "go go gadget arms arms arms"), (2, "all distinct words here")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["n_doubled"] for r in textstats.doubled_token_counts(df).collect()}
+    assert out[1] == 3  # go|go, arms|arms, arms|arms
+    assert out[2] == 0
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = make_documents_rows(30, seed=11, mega_frac=0.0)
+    spans_df = create_documents_df(spark, rows)
+    return multimodal.synth_media_table(spans_df)
+
+
+def test_media_table_schema_and_payload(media):
+    got = [(f.name, f.dataType) for f in media.schema.fields]
+    want = [(f.name, f.dataType) for f in multimodal.MEDIA_SCHEMA.fields]
+    assert got == want  # (nullability differs by construction; names+types pinned)
+    rows = media.collect()
+    assert rows, "generator should interleave media spans"
+    for r in rows[:5]:
+        assert r["n_bytes"] == 32  # two md5 halves
+        assert r["kind"] in ("figure", "table")
+        # payload deterministic from media_ref
+        h = hashlib.md5(r["media_ref"].encode()).hexdigest() + hashlib.md5(
+            (r["media_ref"] + ":1").encode()
+        ).hexdigest()
+        assert bytes(r["payload"]).hex() == h
+
+
+def test_decode_media_fake_features(media):
+    out = multimodal.decode_media(media).collect()
+    assert out and len(out[0]["features"]) == 16
+    for r in out[:5]:
+        assert abs(sum(r["features"]) - 1.0) < 1e-9  # L1-normalized histogram
+
+
+def test_decode_media_real_raises(media):
+    with pytest.raises(Exception, match="(?i)not installed|NotImplemented"):
+        multimodal.decode_media(media.limit(1), impl="real").collect()
+
+
+def test_sample_frames_fanout(media):
+    one = media.limit(3)
+    frames = multimodal.sample_frames(one, every_n_bytes=8).collect()
+    # 32 bytes / 8 = 4 frames per media row
+    assert len(frames) == 12
+    assert {f["frame_no"] for f in frames} == {0, 1, 2, 3}
+    assert all(len(bytes(f["frame_bytes"])) == 8 for f in frames)
+
+
+# ---------------------------------------------------------------------------
+# physical-plan guards (scale regressions)
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup_single_shuffle(docs):
+    plan = dedup.exact_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # one hash shuffle on content_hash
+
+
+def test_minhash_signatures_no_shuffle(docs):
+    plan = dedup.minhash_signatures(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure per-row projection
+
+
+def test_ivf_probe_join_is_broadcast(vectors):
+    df, rows = vectors
+    plan = similarity.ivf_topk(df, rows[0][1], k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
