@@ -36,10 +36,18 @@ class PipelineRegistry:
 
     ``apply`` folds ``current = fn(current)`` exactly like _runPipeline
     (filterRegistry.js:406-478); ``stop_on_error=False`` keeps the pre-error
-    value and continues (filterRegistry.js:453-462).
+    value and continues (filterRegistry.js:453-462).  ``insert``/
+    ``remove_at`` mirror the positional pipeline editing
+    (filterRegistry.js:222-260); before/after/error hooks mirror
+    beforeApply/afterApply/onError (filterRegistry.js:300-330) and feed
+    job metrics instead of a UI; ``use`` is the plugin hook
+    (filterRegistry.js:484-506).
     """
 
     _pipelines: dict[str, list[Step]] = field(default_factory=dict)
+    _before_hooks: list = field(default_factory=list)
+    _after_hooks: list = field(default_factory=list)
+    _error_hooks: list = field(default_factory=list)
 
     def register(self, name: str, steps: list[StrFilter]) -> None:
         self._pipelines[name] = [
@@ -55,21 +63,53 @@ class PipelineRegistry:
     def names(self) -> list[str]:
         return list(self._pipelines)
 
+    def insert(self, name: str, index: int, fn: StrFilter, step_name: str | None = None) -> None:
+        """Insert a step at a position (filterRegistry.js insert)."""
+        self._pipelines[name].insert(
+            index, Step(fn=fn, name=step_name or getattr(fn, "__name__", "step"))
+        )
+
+    def remove_at(self, name: str, index: int) -> Step:
+        """Remove and return the step at a position (filterRegistry.js removeAt)."""
+        return self._pipelines[name].pop(index)
+
     def enable(self, name: str, step_name: str, enabled: bool = True) -> None:
         for st in self._pipelines[name]:
             if st.name == step_name:
                 st.enabled = enabled
 
+    def on_before_apply(self, hook) -> None:
+        """hook(pipeline_name, text) before each pipeline run."""
+        self._before_hooks.append(hook)
+
+    def on_after_apply(self, hook) -> None:
+        """hook(pipeline_name, result) after each pipeline run."""
+        self._after_hooks.append(hook)
+
+    def on_error(self, hook) -> None:
+        """hook(pipeline_name, step_name, exception) on step failure."""
+        self._error_hooks.append(hook)
+
+    def use(self, plugin) -> None:
+        """Plugin installer: called with the registry (filterRegistry.js use)."""
+        plugin(self)
+
     def apply(self, name: str, text: str, stop_on_error: bool = True) -> str:
         current = "" if text is None else str(text)
+        for h in self._before_hooks:
+            h(name, current)
         for st in self._pipelines[name]:
             if not st.enabled:
                 continue
             try:
                 current = str(st.fn(current))
-            except Exception:
+            except Exception as exc:
+                for h in self._error_hooks:
+                    h(name, st.name, exc)
                 if stop_on_error:
                     raise
+        for h in self._after_hooks:
+            h(name, current)
         return current
 
     def apply_chains(self, names: list[str], text: str, stop_on_error: bool = True) -> str:
