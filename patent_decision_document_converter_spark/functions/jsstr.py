@@ -54,3 +54,61 @@ def escape_regexp(s: str) -> str:
     """JS-style escapeRegExp used by marker strippers
     (stripBlankLines.js:73: ``[.*+?^${}()|[\\]\\\\]`` -> escaped)."""
     return re.sub(r"[.*+?^${}()|[\]\\]", lambda m: "\\" + m.group(0), str(s))
+
+
+def lazy_block_sub(s: str, start: str, end: str, repl, count: int = 0) -> str:
+    """Linear-time equivalent of
+    ``re.sub('(START)([\\s\\S]*?)(END)', repl, s)`` for LITERAL markers.
+
+    The reference's lazy regex is O(n·starts) when start markers are
+    frequent and the end marker is absent (every attempt rescans to EOF) —
+    a megadoc blowup measured at 4x length -> 12x time.  Leftmost-match +
+    lazy-inner semantics are exactly: take the first start, pair it with
+    the EARLIEST end after it, continue after the match; if some start has
+    no end after it, no later start can have one either (its search space
+    is a subset), so stop.  ``repl(start_str, inner, end_str) -> str``.
+    """
+    out: list[str] = []
+    pos = 0
+    done = 0
+    while True:
+        i = s.find(start, pos)
+        if i == -1:
+            break
+        j = s.find(end, i + len(start))
+        if j == -1:
+            break
+        out.append(s[pos:i])
+        out.append(repl(start, s[i + len(start): j], end))
+        pos = j + len(end)
+        done += 1
+        if count and done >= count:
+            break
+    out.append(s[pos:])
+    return "".join(out)
+
+
+def lazy_block_sub_re(s: str, a_re: re.Pattern, b_re: re.Pattern, repl, count: int = 0) -> str:
+    """Same linear rewrite for regex start/end markers:
+    ``re.sub('(A)([\\s\\S]*?)(B)', repl, s)`` with ``repl(ma, inner, mb)``.
+    A and B must be self-contained patterns (no lookaround across the
+    inner span), which is true for every block pattern in the reference.
+    """
+    out: list[str] = []
+    pos = 0
+    done = 0
+    while True:
+        ma = a_re.search(s, pos)
+        if ma is None:
+            break
+        mb = b_re.search(s, ma.end())
+        if mb is None:
+            break
+        out.append(s[pos: ma.start()])
+        out.append(repl(ma, s[ma.end(): mb.start()], mb))
+        pos = mb.end()
+        done += 1
+        if count and done >= count:
+            break
+    out.append(s[pos:])
+    return "".join(out)

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import re
 
-from ..functions.jsstr import join_lines, js_trim, split_lines
+from ..functions.jsstr import join_lines, js_trim, lazy_block_sub_re, split_lines
 from ..functions.widths import (
     to_full_digits,
     to_full_num_str,
@@ -180,37 +180,46 @@ def convert_before_kiroku_line_to_full_width(text: str) -> str:
     return _KI_LINE_RE.sub(lambda m: _convert_pre_tail(s, m.group(1), m.group(2)), s, count=1)
 
 
-_DOC_BLOCK_RE = re.compile(
-    r"(-{20,}\r?\n)([\s\S]*?)(\r?\n[ \t　]*この先行技術文献調査結果の記録は、拒絶理由を構成するものではありません。)"
+_DOC_BLOCK_A_RE = re.compile(r"-{20,}\r?\n")
+_DOC_BLOCK_B_RE = re.compile(
+    r"\r?\n[ \t　]*この先行技術文献調査結果の記録は、拒絶理由を構成するものではありません。"
 )
 
 
 def convert_for_doc(text: str) -> str:
-    """convertForDoc (textUtilsConvertForDoc.js:479-501)."""
+    """convertForDoc (textUtilsConvertForDoc.js:479-501).
+
+    The reference's ``(A)([\\s\\S]*?)(B)`` lazy regex rescans to EOF for
+    every dash-rule line when the closing sentence is absent (O(n²) on
+    megadocs); ``lazy_block_sub_re`` is the linear equivalent."""
     s = convert_before_kiroku_line_to_full_width(str(text))
 
-    def repl(m: re.Match[str]) -> str:
-        inner_lines = split_lines(m.group(2))
-        return m.group(1) + join_lines([convert_each_line(ln) for ln in inner_lines]) + m.group(3)
+    def repl(ma: re.Match[str], inner: str, mb: re.Match[str]) -> str:
+        inner_lines = split_lines(inner)
+        return ma.group(0) + join_lines([convert_each_line(ln) for ln in inner_lines]) + mb.group(0)
 
-    return _DOC_BLOCK_RE.sub(repl, s)
+    return lazy_block_sub_re(s, _DOC_BLOCK_A_RE, _DOC_BLOCK_B_RE, repl)
 
 
-_FAMILY_BLOCK_RE = re.compile(
-    r"(<ファミリー文献情報>\n?)([\s\S]*?)([ 　]*この拒絶理由通知の内容に関するお問合せ又は面接のご希望がありましたら、次の連絡先までご連絡ください。補正案等の送付を希望される際は、その旨を事前にご連絡ください。)"
+_FAMILY_BLOCK_A_RE = re.compile(r"<ファミリー文献情報>\n?")
+_FAMILY_BLOCK_B_RE = re.compile(
+    r"[ 　]*この拒絶理由通知の内容に関するお問合せ又は面接のご希望がありましたら、次の連絡先までご連絡ください。補正案等の送付を希望される際は、その旨を事前にご連絡ください。"
 )
 
 
 def convert_for_family(text: str) -> str:
     """convertForFamily (textUtilsConvertForDoc.js:503-529) — note the
-    replacement PREPENDS one newline before the header (reference behavior)."""
+    replacement PREPENDS one newline before the header (reference behavior).
+    Linear two-pointer form of the reference's lazy block regex."""
 
-    def repl(m: re.Match[str]) -> str:
-        lines = split_lines(m.group(2))
+    def repl(ma: re.Match[str], inner: str, mb: re.Match[str]) -> str:
+        lines = split_lines(inner)
         out = [convert_each_line_for_family(ln) for ln in lines]
-        return "\n" + m.group(1) + join_lines(out) + "\n" + m.group(3)
+        return "\n" + ma.group(0) + join_lines(out) + "\n" + mb.group(0)
 
-    return _FAMILY_BLOCK_RE.sub(repl, str(text), count=1)
+    return lazy_block_sub_re(
+        str(text), _FAMILY_BLOCK_A_RE, _FAMILY_BLOCK_B_RE, repl, count=1
+    )
 
 
 # ======================================================================

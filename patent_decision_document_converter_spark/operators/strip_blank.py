@@ -14,11 +14,21 @@ from __future__ import annotations
 import re
 
 from ..functions.headings import is_blank_line_strip
-from ..functions.jsstr import escape_regexp, join_lines, js_trim, split_lines_blank
+from ..functions.jsstr import (
+    join_lines,
+    js_trim,
+    lazy_block_sub,
+    split_lines_blank,
+)
 
 
 def _strip_between(s: str, start_markers, end_markers, left_nl: bool, right_nl: bool) -> str:
-    """stripBlankLines.js:68-150 generic body."""
+    """stripBlankLines.js:68-150 generic body.
+
+    The reference compiles ``(START)([\\s\\S]*?)(END)`` per pair; markers
+    are regex-escaped literals, so the linear two-pointer
+    ``lazy_block_sub`` gives identical output in O(n) (the lazy regex is
+    O(n·starts) on megadocs when the end marker is absent)."""
     if not s:
         return ""
     starts = start_markers if isinstance(start_markers, list) else [start_markers]
@@ -27,23 +37,20 @@ def _strip_between(s: str, start_markers, end_markers, left_nl: bool, right_nl: 
     result = str(s)
     for start in starts:
         for end in ends:
-            pattern = re.compile(
-                "(" + escape_regexp(start) + ")([\\s\\S]*?)(" + escape_regexp(end) + ")"
-            )
 
-            def repl(m: re.Match[str]) -> str:
-                inner_lines = split_lines_blank(m.group(2))
+            def repl(start_str: str, inner: str, end_str: str) -> str:
+                inner_lines = split_lines_blank(inner)
                 out = [ln for ln in inner_lines if not is_blank_line_strip(ln)]
                 mid = join_lines(out)
                 return (
-                    m.group(1)
+                    start_str
                     + ("\n" if left_nl else "")
                     + mid
                     + ("\n" if right_nl else "")
-                    + m.group(3)
+                    + end_str
                 )
 
-            result = pattern.sub(repl, result)
+            result = lazy_block_sub(result, start, end, repl)
     return result
 
 
@@ -139,16 +146,13 @@ def strip_blank_lines_between(s, start_marker, end_marker):
     result = str(s)
     for start in starts:
         for end in ends:
-            pattern = re.compile(
-                "(" + escape_regexp(start) + ")([\\s\\S]*?)(" + escape_regexp(end) + ")"
-            )
 
-            def repl(m: re.Match[str]) -> str:
-                inner_lines = split_lines_blank(m.group(2))
+            def repl(start_str: str, inner: str, end_str: str) -> str:
+                inner_lines = split_lines_blank(inner)
                 out = [ln for ln in inner_lines if not _is_blank_main(ln)]
-                return m.group(1) + js_trim(join_lines(out)) + m.group(3)
+                return start_str + js_trim(join_lines(out)) + end_str
 
-            result = pattern.sub(repl, result)
+            result = lazy_block_sub(result, start, end, repl)
     return result
 
 
