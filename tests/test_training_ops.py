@@ -65,6 +65,19 @@ def test_minhash_identical_docs_identical_signatures(docs):
     assert shared_near > shared_far
 
 
+def test_minhash_pandas_expr_parity(spark, docs):
+    """The hashlib fast path and the pure-builtin expression path must
+    produce byte-identical signatures (same md5 derivation)."""
+    fast = {r["doc_id"]: list(r["signature"]) for r in dedup.minhash_signatures(docs, impl="pandas").collect()}
+    expr = {r["doc_id"]: list(r["signature"]) for r in dedup.minhash_signatures(docs, impl="expr").collect()}
+    assert fast == expr
+    # and on the realistic testdata corpus
+    td = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fast = {r["doc_id"]: list(r["signature"]) for r in dedup.minhash_signatures(td, impl="pandas").collect()}
+    expr = {r["doc_id"]: list(r["signature"]) for r in dedup.minhash_signatures(td, impl="expr").collect()}
+    assert fast == expr
+
+
 def test_minhash_lsh_candidates_catch_dups(docs):
     sigs = dedup.minhash_signatures(docs)
     pairs = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_candidates(sigs).collect()}
