@@ -216,6 +216,53 @@ SELECT n_name, c_custkey, spend_cents FROM ranked WHERE rn = 1
 """
 
 
+def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-aggregate over part with a conditional aggregate (pivot-ish)."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(F.round(F.col("p_retailprice") * 100).cast("long")).alias("retail_cents"),
+            F.max("p_size").cast("long").alias("max_size"),
+            F.sum(F.when(F.col("p_size") >= 25, 1).otherwise(0)).cast("long").alias("n_large"),
+        )
+    )
+
+
+_PART_BRAND_SQL = """
+SELECT p_brand,
+       COUNT(*) AS n_parts,
+       CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS retail_cents,
+       CAST(MAX(p_size) AS BIGINT) AS max_size,
+       CAST(SUM(CASE WHEN p_size >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_large
+FROM part GROUP BY p_brand
+"""
+
+
+def supplier_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + agg over supplier (completes table coverage)."""
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum(F.round(F.col("s_acctbal") * 100).cast("long")).alias("acctbal_cents"),
+        )
+    )
+
+
+_SUPPLIER_BAL_SQL = """
+SELECT n_name,
+       COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS-style left-semi join (orders with any late-shipped item)."""
     orders = _t(spark, sf_dir, "orders")
@@ -782,6 +829,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "revenue_by_nation": (revenue_by_nation, _REV_NATION_SQL),
     "top_customer_per_nation": (top_customer_per_nation, _TOP_CUST_SQL),
     "order_priority_count": (order_priority_count, _ORDER_PRIO_SQL),
+    "part_brand_stats": (part_brand_stats, _PART_BRAND_SQL),
+    "supplier_balance_by_nation": (supplier_balance_by_nation, _SUPPLIER_BAL_SQL),
     "events_sessionize": (events_sessionize, _SESSIONIZE_SQL),
     "events_hourly": (events_hourly, _HOURLY_SQL),
     "events_json_extract": (events_json_extract, _JSON_SQL),
