@@ -27,8 +27,9 @@ import json
 import os
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
 from ..functions import typo
 from ..sources.documents import SPANS_OUT_SCHEMA
@@ -163,6 +164,160 @@ def convert_documents(
             key = key + F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(salt_buckets))
         sdf = sdf.repartition(n_partitions, key)
     return sdf.mapInPandas(_convert_rows(mode), schema=SPANS_OUT_SCHEMA)
+
+
+def _convert_runs(mode: str):
+    """mapInPandas fn for the exploded strategy: one row = one text RUN."""
+    fn = mode_fn(mode)
+    emit_findings = mode not in ("paragraph", "html")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            texts, findings_col = [], []
+            for text in pdf["run_text"]:
+                texts.append(fn(text))
+                items = []
+                if emit_findings:
+                    res = typo.check(text)
+                    if res["hasError"]:
+                        items = [
+                            {
+                                "id": it["id"],
+                                "message": it["message"],
+                                "match": it["match"],
+                                "index": it["index"],
+                                "context": it["context"],
+                            }
+                            for it in res["items"]
+                        ]
+                findings_col.append(items)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "ord_key": pdf["ord_key"],
+                    "text": texts,
+                    "findings": findings_col,
+                }
+            )
+
+    return run
+
+
+_RUNS_OUT_SCHEMA = StructType(
+    [
+        SPANS_OUT_SCHEMA["doc_id"],
+        StructField("ord_key", IntegerType(), False),
+        StructField("text", StringType(), False),
+        SPANS_OUT_SCHEMA["findings"],
+    ]
+)
+
+
+def convert_documents_exploded(df: DataFrame, mode: str = "officeAction") -> DataFrame:
+    """Exploded-strategy twin of :func:`convert_documents` — IDENTICAL
+    output (north_star shape: explode spans → classify per run →
+    re-stitch with a window over (doc_id, offset)).
+
+    Text runs between media spans are independent conversion units by
+    construction, so here each run becomes its OWN row before the Python
+    stage: a megadoc whose spans interleave media is processed by many
+    tasks in parallel instead of one straggler task.  Cost: two extra
+    shuffles (run assembly + doc re-stitch) — use for skewed corpora
+    where the megadoc tail dominates; the nested strategy wins on
+    uniform corpora.
+
+    Plan: explode → window(run_id = running media count over offset
+    order) → groupBy(doc_id, run_id) run assembly → MapInPandas(convert)
+    → union media rows → groupBy(doc_id) ordered re-stitch.
+
+    Assumes ``doc_id`` is a key (input_hint: unique) — duplicate ids
+    would be merged by the re-stitch groupBy, whereas the nested
+    strategy is per-row.
+    """
+    if mode not in MODES:
+        raise KeyError(f"unknown mode {mode!r}")
+    ex = (
+        df.select("doc_id", F.size("spans").alias("n_spans_in"), F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            "n_spans_in",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").alias("offset"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    ex = ex.withColumn("is_media", F.col("kind") != "text").withColumn(
+        "run_id", F.sum(F.col("is_media").cast("int")).over(w)
+    )
+
+    runs = (
+        ex.filter(~F.col("is_media"))
+        .groupBy("doc_id", "run_id")
+        .agg(
+            F.any_value("n_spans_in").alias("n_spans_in"),
+            F.min("offset").alias("ord_key"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("offset", "text"))),
+                    lambda s: s["text"],
+                ),
+            ).alias("run_text"),
+        )
+    )
+    converted = runs.select("doc_id", "ord_key", "run_text").mapInPandas(
+        _convert_runs(mode), schema=_RUNS_OUT_SCHEMA
+    )
+    converted = converted.select(
+        "doc_id",
+        "ord_key",
+        F.lit("text").alias("kind"),
+        "text",
+        F.lit("").alias("media_ref"),
+        "findings",
+    )
+    media = ex.filter(F.col("is_media")).select(
+        "doc_id",
+        F.col("offset").alias("ord_key"),
+        "kind",
+        "text",
+        "media_ref",
+        F.array().cast(SPANS_OUT_SCHEMA["findings"].dataType).alias("findings"),
+    )
+    stitched = (
+        converted.unionByName(media)
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ord_key", "kind", "text", "media_ref", "findings"))
+            ).alias("_ordered")
+        )
+        .select(
+            "doc_id",
+            F.lit(mode).alias("mode"),
+            F.transform(
+                F.col("_ordered"),
+                lambda s, i: F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    i.cast("int").alias("offset"),
+                ),
+            ).alias("spans"),
+            F.flatten(F.transform(F.col("_ordered"), lambda s: s["findings"])).alias("findings"),
+            F.size(F.col("_ordered")).alias("n_spans_out"),
+        )
+    )
+    n_in = df.select("doc_id", F.size("spans").alias("n_spans_in"))
+    return stitched.join(n_in, "doc_id").select(
+        "doc_id", "mode", "spans", "findings",
+        F.col("n_spans_in").cast("int").alias("n_spans_in"),
+        F.col("n_spans_out").cast("int").alias("n_spans_out"),
+    )
 
 
 def quarantine_split(out: DataFrame) -> tuple[DataFrame, DataFrame]:

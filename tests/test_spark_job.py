@@ -115,6 +115,32 @@ def test_text_run_semantics_no_media_equals_reference(spark):
         assert len(got) == 1 and got[0]["text"] == expected
 
 
+def test_exploded_strategy_equals_nested(spark, docs_rows):
+    """convert_documents_exploded must produce IDENTICAL rows to the
+    nested strategy — same spans, same findings order — including on
+    permuted span arrays and media-interleaved docs."""
+    from patent_decision_document_converter_spark.plans.job import (
+        convert_documents_exploded,
+    )
+
+    mega = [
+        {"doc_id": "mega-" + r["doc_id"], "spans": r["spans"]}
+        for r in make_documents_rows(6, seed=99, mega_frac=1.0)  # force megadocs
+    ]
+    rows = docs_rows + mega
+    df = create_documents_df(spark, rows)
+    for mode in ("officeAction", "pct", "html"):
+        nested = {
+            r["doc_id"]: r.asDict(recursive=True)
+            for r in convert_documents(df, mode).collect()
+        }
+        exploded = {
+            r["doc_id"]: r.asDict(recursive=True)
+            for r in convert_documents_exploded(df, mode).collect()
+        }
+        assert nested == exploded, mode
+
+
 def test_quarantine_split(spark):
     rows = [
         {"doc_id": "bad", "spans": [{"kind": "text", "text": "これは、、誤記です", "media_ref": "", "offset": 0}]},
