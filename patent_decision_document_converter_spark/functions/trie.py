@@ -17,6 +17,7 @@ import and shared by every Arrow batch on the executor.
 
 from __future__ import annotations
 
+import functools
 import re
 
 REPLACE_MAP = {
@@ -241,8 +242,12 @@ def _has_boundary(chunk: str, start: int, end_excl: int) -> bool:
     return prev not in _ASCII_WORD and nxt not in _ASCII_WORD
 
 
-def _replace_chunk(chunk: str) -> str:
-    """textUtilsConvertForCau.js:1222-1273 — longest-match left-to-right."""
+def _replace_chunk_impl(chunk: str) -> str:
+    """textUtilsConvertForCau.js:1222-1273 — longest-match left-to-right.
+
+    Unmatched regions are copied only at match boundaries (one slice per
+    match instead of one per character — the output is the chunk with
+    matched spans substituted either way)."""
     norm_chars: list[str] = []
     norm_to_orig: list[int] = []
     for i, c in enumerate(chunk):
@@ -258,16 +263,17 @@ def _replace_chunk(chunk: str) -> str:
     out: list[str] = []
     orig_cursor = 0
     i = 0
+    trie_get = _TRIE.get
     while i < n:
         # findLongestApplicableMatch
-        node = _TRIE
+        node = trie_get(norm[i])
+        if node is None:
+            i += 1
+            continue
         best_value = None
         best_end = -1
         j = i
-        while j < n:
-            node = node.get(norm[j])
-            if node is None:
-                break
+        while node is not None:
             entry = node.get("\0")
             if entry is not None:
                 end = j + 1
@@ -284,11 +290,11 @@ def _replace_chunk(chunk: str) -> str:
                     best_value = entry.value
                     best_end = end
             j += 1
+            if j >= n:
+                break
+            node = node.get(norm[j])
 
         if best_value is None:
-            next_orig_excl = norm_to_orig[i] + 1
-            out.append(chunk[orig_cursor:next_orig_excl])
-            orig_cursor = next_orig_excl
             i += 1
             continue
 
@@ -300,9 +306,23 @@ def _replace_chunk(chunk: str) -> str:
         orig_cursor = end_orig_excl
         i = best_end
 
+    if not out:
+        return chunk
     if orig_cursor < len(chunk):
         out.append(chunk[orig_cursor:])
     return "".join(out)
+
+
+# Chunks repeat heavily in real corpora (fixed phrases, citations, DB
+# names) and _replace_chunk is a pure function — cache the small ones.
+# Megadoc-sized chunks bypass the cache (memory per worker).
+_replace_chunk_cached = functools.lru_cache(maxsize=32768)(_replace_chunk_impl)
+
+
+def _replace_chunk(chunk: str) -> str:
+    if len(chunk) <= 256:
+        return _replace_chunk_cached(chunk)
+    return _replace_chunk_impl(chunk)
 
 
 def apply_flexible_map(s: str) -> str:
