@@ -154,6 +154,33 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(docs: DataFrame, text_expr=None) -> DataFrame:
+    """Streaming exact dedup: keep the first-seen document per content
+    hash across micro-batches (built-in ``dropDuplicates`` state store —
+    the idiomatic Spark form; on an unbounded stream pair it with
+    ``withWatermark`` + ``dropDuplicatesWithinWatermark`` to bound
+    state).  Content key = md5 of normalized text, same derivation as
+    the batch ``operators.dedup.exact_dedup``."""
+    from ..operators.dedup import normalized_text
+
+    if text_expr is None:
+        text_expr = F.concat_ws(
+            "\n",
+            F.transform(
+                F.filter(
+                    F.expr("array_sort(spans, (l, r) -> l.offset - r.offset)"),
+                    lambda s: s["kind"] == F.lit("text"),
+                ),
+                lambda s: s["text"],
+            ),
+        )
+    hashed = docs.withColumn(
+        "content_hash",
+        F.conv(F.substring(F.md5(F.lower(F.trim(F.regexp_replace(text_expr, r"\s+", " ")))), 1, 15), 16, 10).cast("long"),
+    )
+    return hashed.dropDuplicates(["content_hash"])
+
+
 def run_stream_to_memory(out: DataFrame, query_name: str, output_mode: str = "update"):
     """Test helper: drain a stream into an in-memory table with
     availableNow and block until done."""

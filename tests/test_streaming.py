@@ -98,6 +98,32 @@ def test_events_hourly_stream_matches_batch(spark, events_dir):
         assert all(h >= max_done for h, _ in missing)
 
 
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("dstream"))
+    inp = os.path.join(base, "in")
+    rows = make_documents_rows(20, seed=21, mega_frac=0.0)
+    dupes = [{"doc_id": "dup-" + r["doc_id"], "spans": r["spans"]} for r in rows[:8]]
+    create_documents_df(spark, rows + dupes).repartition(6).write.parquet(inp)
+
+    stream = stream_job.read_documents_stream(spark, inp, max_files=2)
+    out = stream_job.dedup_stream(stream)
+    stream_job.run_stream_to_memory(out, "dedup_test", output_mode="append")
+    got = spark.sql("SELECT doc_id, content_hash FROM dedup_test").collect()
+    # exactly one survivor per distinct content hash, across micro-batches
+    assert len(got) == len({r["content_hash"] for r in got})
+    assert len(got) == 20  # 8 dupes dropped
+    # batch twin agrees on the distinct content-hash set
+    from patent_decision_document_converter_spark.operators import dedup as bdedup
+    from patent_decision_document_converter_spark.sources.generator import doc_text_from_spans
+
+    batch_df = spark.createDataFrame(
+        [(r["doc_id"], doc_text_from_spans(r["spans"])) for r in rows + dupes],
+        ["doc_id", "text"],
+    )
+    batch_hashes = {r["content_hash"] for r in bdedup.exact_dedup(batch_df).collect()}
+    assert {r["content_hash"] for r in got} == batch_hashes
+
+
 def test_sessionize_stream_matches_batch(spark, events_dir):
     src = "/root/testdata/sf0.001/events.parquet"
     schema = spark.read.parquet(src).schema
