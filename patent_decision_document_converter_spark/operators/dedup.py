@@ -47,6 +47,22 @@ def tokens(col: str = "text") -> Column:
     return F.split(normalized_text(col), " ")
 
 
+def char_shingles_from_norm(norm: Column, k: int = 5) -> Column:
+    """Distinct character k-gram shingles from a MATERIALIZED normalized-
+    text column — the script-agnostic shingle unit (word shingles see one
+    giant token in spaceless CJK text).  Same interpreted-HOF caveat as
+    :func:`shingles_from_tokens`: pass an attribute, not an expression."""
+    return F.when(
+        F.length(norm) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(norm) - (k - 1)),
+                lambda i: F.substring(norm, i, k),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     """Distinct word k-gram shingles from a MATERIALIZED token-array column.
 
@@ -103,8 +119,13 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_k: int = 3,
     impl: str = "pandas",
+    unit: str = "word",
 ) -> DataFrame:
     """Per-doc MinHash signature: array<long> of length ``num_hashes``.
+
+    ``unit='word'`` shingles whitespace-token k-grams (Latin corpora);
+    ``unit='char'`` shingles character k-grams of the normalized text —
+    the script-agnostic form required for spaceless CJK (use k≈5).
 
     signature[s] = min over shingles of md5_long(s || ':' || shingle).
 
@@ -124,11 +145,17 @@ def minhash_signatures(
     LSH (can't be near-dups by shingling).
     """
     if impl == "pandas":
-        return _minhash_signatures_pandas(df, id_col, text_col, num_hashes, shingle_k)
-    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
-    shingled = toked.select(
-        F.col(id_col), shingles_from_tokens(F.col("_toks"), shingle_k).alias("_sh")
-    )
+        return _minhash_signatures_pandas(df, id_col, text_col, num_hashes, shingle_k, unit)
+    if unit == "char":
+        normed = df.select(F.col(id_col), normalized_text(text_col).alias("_norm"))
+        shingled = normed.select(
+            F.col(id_col), char_shingles_from_norm(F.col("_norm"), shingle_k).alias("_sh")
+        )
+    else:
+        toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+        shingled = toked.select(
+            F.col(id_col), shingles_from_tokens(F.col("_toks"), shingle_k).alias("_sh")
+        )
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda s: F.array_min(
@@ -149,7 +176,12 @@ def minhash_signatures(
 
 
 def _minhash_signatures_pandas(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int, shingle_k: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    shingle_k: int,
+    unit: str = "word",
 ) -> DataFrame:
     """hashlib-backed twin of the expr implementation (same md5 bytes →
     same signatures).  Normalization mirrors :func:`normalized_text`
@@ -174,15 +206,25 @@ def _minhash_signatures_pandas(
             ids, sigs = [], []
             for i, text in zip(pdf[id_col], pdf[text_col]):
                 norm = ws_re.sub(" ", "" if text is None else str(text)).strip(" ").lower()
-                toks = norm.split(" ")
-                if len(toks) < shingle_k:
-                    ids.append(i)
-                    sigs.append([])
-                    continue
-                shingles = {
-                    " ".join(toks[j : j + shingle_k]).encode()
-                    for j in range(len(toks) - shingle_k + 1)
-                }
+                if unit == "char":
+                    if len(norm) < shingle_k:
+                        ids.append(i)
+                        sigs.append([])
+                        continue
+                    shingles = {
+                        norm[j : j + shingle_k].encode()
+                        for j in range(len(norm) - shingle_k + 1)
+                    }
+                else:
+                    toks = norm.split(" ")
+                    if len(toks) < shingle_k:
+                        ids.append(i)
+                        sigs.append([])
+                        continue
+                    shingles = {
+                        " ".join(toks[j : j + shingle_k]).encode()
+                        for j in range(len(toks) - shingle_k + 1)
+                    }
                 sig = [
                     min(
                         int(hashlib.md5(seed + b":" + g).hexdigest()[:15], 16)
@@ -252,8 +294,10 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold_tenths: int = 6,
     candidates: DataFrame | None = None,
+    unit: str = "word",
 ) -> DataFrame:
     """Pairs with Jaccard(shingles_a, shingles_b) >= threshold_tenths/10.
+    ``unit`` as in :func:`minhash_signatures` (char k-grams for CJK).
 
     Exact set-overlap via shingle explode + self-equi-join on shingle —
     the inverted-index formulation (shuffle keyed on shingle, never a
@@ -263,11 +307,18 @@ def ngram_jaccard_pairs(
     At 100 TB this runs ONLY over LSH ``candidates`` (semi-join pushed
     below the explode); all-pairs mode is for small corpora / oracles.
     """
-    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
-    sh = toked.select(
-        F.col(id_col),
-        F.explode(shingles_from_tokens(F.col("_toks"), shingle_k)).alias("shingle"),
-    )
+    if unit == "char":
+        normed = df.select(F.col(id_col), normalized_text(text_col).alias("_norm"))
+        sh = normed.select(
+            F.col(id_col),
+            F.explode(char_shingles_from_norm(F.col("_norm"), shingle_k)).alias("shingle"),
+        )
+    else:
+        toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+        sh = toked.select(
+            F.col(id_col),
+            F.explode(shingles_from_tokens(F.col("_toks"), shingle_k)).alias("shingle"),
+        )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
 
     a = sh.alias("a")

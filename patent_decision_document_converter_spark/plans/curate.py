@@ -1,0 +1,115 @@
+"""End-to-end corpus curation: the training-data pipeline composed.
+
+One job wiring every layer of the engine the way a 100 TB pretraining
+corpus build would:
+
+    documents(doc_id, spans)
+      → convert (fused mode pipeline, typo findings)        plans.job
+      → quarantine split (findings ≠ clean)                 plans.job
+      → quality gates (token/char/diversity thresholds)     operators.textstats
+      → language filter                                     operators.textstats
+      → exact dedup (content-hash, keep canonical)          operators.dedup
+      → near-dup removal (MinHash LSH candidates →
+        integer-Jaccard verify → keep min doc_id)           operators.dedup
+      → curated spans + per-stage metrics
+
+Scale shape: every stage is either a per-row projection or a short-key
+shuffle already analyzed in PLANS.md; the near-dup verify runs ONLY on
+LSH candidate pairs (semi-join pushdown), never all-pairs.  Stage
+counts are computed in ONE pass per retained frame (cheap aggregates),
+and the converted frame is persisted once since three branches consume
+it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import dedup, textstats
+from .job import convert_documents, quarantine_split
+
+
+def extract_text(converted: DataFrame) -> DataFrame:
+    """(doc_id, text) view of converted spans ('\\n'-joined text spans in
+    offset order — media spans excluded from the text key)."""
+    return converted.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.filter("spans", lambda s: s["kind"] == "text"),
+                lambda s: s["text"],
+            ),
+        ).alias("text"),
+    )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    mode: str = "officeAction",
+    min_chars: int = 20,
+    min_tokens: int = 8,
+    min_distinct_permille: int = 200,
+    keep_langs: tuple[str, ...] | None = None,
+    jaccard_threshold_tenths: int = 8,
+) -> tuple[DataFrame, dict]:
+    """Run the full curation pipeline; returns (curated spans DataFrame,
+    per-stage metrics dict).
+
+    The token-count gate is script-aware: spaceless CJK text tokenizes
+    to very few whitespace tokens, so docs whose mean token length is
+    CJK-run-sized (≥10 chars) pass on ``min_chars`` alone."""
+    metrics: dict[str, int] = {"input_docs": docs.count()}
+
+    converted = convert_documents(docs, mode=mode).persist()
+    clean, quarantined = quarantine_split(converted)
+    metrics["quarantined"] = quarantined.count()
+
+    text = extract_text(clean)
+    quality = textstats.quality_scores(text)
+    passed_quality = quality.filter(
+        (F.col("n_chars") >= min_chars)
+        & (F.col("distinct_permille") >= min_distinct_permille)
+        & ((F.col("n_tokens") >= min_tokens) | (F.col("mean_tok_len_x10") >= 100))
+    ).select("doc_id")
+    if keep_langs:
+        langs = textstats.lang_id(text)
+        passed_quality = passed_quality.join(
+            langs.filter(F.col("pred_lang").isin(*keep_langs)).select("doc_id"), "doc_id"
+        )
+    text_q = text.join(passed_quality, "doc_id")
+    metrics["after_quality"] = text_q.count()
+
+    # exact dedup: keep the canonical (min doc_id) row per content hash
+    hashed = text_q.select(
+        "doc_id", dedup.normalized_text("text").alias("_norm"), "text"
+    ).withColumn(
+        "content_hash",
+        F.conv(F.substring(F.md5("_norm"), 1, 15), 16, 10).cast("long"),
+    )
+    canonical = hashed.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    text_e = hashed.join(canonical, ["content_hash", "doc_id"], "left_semi").select(
+        "doc_id", "text"
+    ).persist()
+    metrics["after_exact_dedup"] = text_e.count()
+
+    # near-dup removal: LSH candidates -> integer-Jaccard verify.
+    # char-5-gram shingles: script-agnostic (word shingles are blind on
+    # spaceless CJK text)
+    sigs = dedup.minhash_signatures(text_e, shingle_k=5, unit="char")
+    cands = dedup.minhash_lsh_candidates(sigs)
+    near = dedup.ngram_jaccard_pairs(
+        text_e,
+        shingle_k=5,
+        unit="char",
+        threshold_tenths=jaccard_threshold_tenths,
+        candidates=cands,
+    )
+    drops = near.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = text_e.join(drops, "doc_id", "left_anti").select("doc_id")
+    metrics["after_near_dedup"] = survivors.count()
+
+    curated = converted.join(survivors, "doc_id", "left_semi")
+    metrics["curated_docs"] = metrics["after_near_dedup"]
+    return curated, metrics

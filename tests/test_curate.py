@@ -1,0 +1,56 @@
+"""End-to-end curation pipeline test: inject known garbage (typo docs,
+low-quality docs, exact dupes, near dupes) and verify each stage drops
+exactly the right documents."""
+
+import pytest
+
+from patent_decision_document_converter_spark.plans.curate import curate_corpus
+from patent_decision_document_converter_spark.plans.job import get_spark
+from patent_decision_document_converter_spark.sources.documents import create_documents_df
+
+
+@pytest.fixture(scope="module")
+def spark():
+    yield get_spark(app_name="pytest-curate", master="local[4]", shuffle_partitions=4)
+
+
+def _doc(doc_id: str, text: str) -> dict:
+    return {
+        "doc_id": doc_id,
+        "spans": [{"kind": "text", "text": text, "media_ref": "", "offset": 0}],
+    }
+
+
+BASE = (
+    "１．この出願の請求項１に係る発明は、特許法第２９条第２項の規定により"
+    "特許を受けることができない。引用文献１には、無線通信システムの基地局"
+    "が端末に制御情報を送信する構成が記載されている。"
+)
+
+
+def test_curation_stages(spark):
+    rows = [
+        _doc("a-base", BASE),
+        _doc("b-exact-dup", BASE),                               # exact dup of a-base
+        _doc("c-near-dup", BASE + "なお、これは付記である。"),      # near dup (high shingle overlap)
+        _doc("d-unique", "本願発明は、データを符号化する装置であって、プロセッサとメモリとを備え、受信した信号を復号して出力する構成を有する点で引用発明と相違する。"),
+        _doc("e-typo", "これは、、誤記のある文書です。" * 5),        # doubled-punct → quarantine
+        _doc("f-short", "短い"),                                  # fails min_tokens
+        _doc("g-repeat", "同じ 同じ 同じ 同じ 同じ 同じ 同じ 同じ 同じ 同じ"),  # low diversity
+    ]
+    df = create_documents_df(spark, rows)
+    curated, m = curate_corpus(
+        df, mode="officeAction", min_chars=10, min_tokens=3, min_distinct_permille=300
+    )
+    kept = sorted(r["doc_id"] for r in curated.select("doc_id").collect())
+
+    assert m["input_docs"] == 7
+    assert m["quarantined"] == 1                      # e-typo
+    assert m["after_quality"] == 4                    # drops f-short, g-repeat
+    assert m["after_exact_dedup"] == 3                # drops b-exact-dup
+    assert m["after_near_dedup"] == 2                 # drops c-near-dup
+    assert kept == ["a-base", "d-unique"]
+
+    # curated rows are full converted span rows (schema intact)
+    cols = set(curated.columns)
+    assert {"doc_id", "mode", "spans", "findings", "n_spans_in", "n_spans_out"} <= cols

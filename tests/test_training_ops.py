@@ -78,6 +78,28 @@ def test_minhash_pandas_expr_parity(spark, docs):
     assert fast == expr
 
 
+def test_minhash_char_unit_parity_and_cjk(spark, docs):
+    """char-shingle mode: pandas/expr parity + catches spaceless-CJK
+    near-dups that word shingles are blind to."""
+    cjk = spark.createDataFrame(
+        [
+            (1, "この出願の請求項に係る発明は特許を受けることができない。"),
+            (2, "この出願の請求項に係る発明は特許を受けることができない。なお付記。"),
+            (3, "全く関係のない別の文書である。"),
+        ],
+        ["doc_id", "text"],
+    )
+    fast = {r["doc_id"]: list(r["signature"]) for r in dedup.minhash_signatures(cjk, shingle_k=5, unit="char", impl="pandas").collect()}
+    expr = {r["doc_id"]: list(r["signature"]) for r in dedup.minhash_signatures(cjk, shingle_k=5, unit="char", impl="expr").collect()}
+    assert fast == expr
+    shared_near = sum(a == b for a, b in zip(fast[1], fast[2]))
+    shared_far = sum(a == b for a, b in zip(fast[1], fast[3]))
+    assert shared_near > 8 > shared_far
+    # word shingles see ONE token per doc -> no signal at all
+    word = {r["doc_id"]: list(r["signature"]) for r in dedup.minhash_signatures(cjk, unit="word").collect()}
+    assert word[1] == []
+
+
 def test_minhash_lsh_candidates_catch_dups(docs):
     sigs = dedup.minhash_signatures(docs)
     pairs = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_candidates(sigs).collect()}
