@@ -113,3 +113,38 @@ def curate_corpus(
     curated = converted.join(survivors, "doc_id", "left_semi")
     metrics["curated_docs"] = metrics["after_near_dedup"]
     return curated, metrics
+
+
+def main() -> None:
+    import argparse
+    import json
+
+    from .job import MODES, get_spark
+
+    p = argparse.ArgumentParser(description="Corpus curation pipeline")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--mode", default="officeAction", choices=sorted(MODES))
+    p.add_argument("--min-chars", type=int, default=20)
+    p.add_argument("--min-tokens", type=int, default=8)
+    p.add_argument("--min-distinct-permille", type=int, default=200)
+    p.add_argument("--langs", default=None, help="comma-separated keep list")
+    p.add_argument("--master", default=None)
+    args = p.parse_args()
+
+    spark = get_spark(app_name="corpus-curation", master=args.master)
+    docs = spark.read.parquet(args.input)
+    curated, metrics = curate_corpus(
+        docs,
+        mode=args.mode,
+        min_chars=args.min_chars,
+        min_tokens=args.min_tokens,
+        min_distinct_permille=args.min_distinct_permille,
+        keep_langs=tuple(args.langs.split(",")) if args.langs else None,
+    )
+    curated.write.mode("overwrite").parquet(args.output)
+    print(json.dumps(metrics))
+
+
+if __name__ == "__main__":
+    main()
