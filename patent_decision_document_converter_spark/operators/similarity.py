@@ -49,7 +49,9 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide: zero-norm vectors yield NULL similarity (sorted last /
+    # filtered by thresholds) instead of an ANSI DIVIDE_BY_ZERO error
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def cosine_topk(
@@ -163,13 +165,13 @@ def cosine_pairs(
     cond = F.col("a.id") < F.col("b.id")
     if bucket_col:
         cond = cond & (F.col("a.bk") == F.col("b.bk"))
-    sim = (
+    sim = F.try_divide(
         F.aggregate(
             F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        )
-        / (F.col("a.nrm") * F.col("b.nrm"))
+        ),
+        F.col("a.nrm") * F.col("b.nrm"),
     )
     return (
         a.join(b, cond)

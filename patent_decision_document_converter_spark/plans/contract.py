@@ -216,6 +216,31 @@ SELECT n_name, c_custkey, spend_cents FROM ranked WHERE rn = 1
 """
 
 
+def orders_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS-frame window aggregate: per-customer rolling sum of the last
+    3 orders (by date, keyed tie-break) — integer cents."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w).alias("rolling3_cents"),
+    )
+
+
+_ROLLING_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling3_cents
+FROM orders
+"""
+
+
 def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan-aggregate over part with a conditional aggregate (pivot-ish)."""
     part = _t(spark, sf_dir, "part")
@@ -829,6 +854,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "revenue_by_nation": (revenue_by_nation, _REV_NATION_SQL),
     "top_customer_per_nation": (top_customer_per_nation, _TOP_CUST_SQL),
     "order_priority_count": (order_priority_count, _ORDER_PRIO_SQL),
+    "orders_rolling_sum": (orders_rolling_sum, _ROLLING_SQL),
     "part_brand_stats": (part_brand_stats, _PART_BRAND_SQL),
     "supplier_balance_by_nation": (supplier_balance_by_nation, _SUPPLIER_BAL_SQL),
     "events_sessionize": (events_sessionize, _SESSIONIZE_SQL),
