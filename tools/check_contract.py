@@ -25,6 +25,32 @@ TABLES = [
 ]
 
 
+def _kind_spark(t: str) -> str:
+    t = t.lower()
+    if t in ("bigint", "int", "smallint", "tinyint", "long"):
+        return "int"
+    if t in ("double", "float"):
+        return "float"
+    if t.startswith("decimal"):
+        return "decimal"
+    if t in ("string", "varchar"):
+        return "str"
+    return t
+
+
+def _kind_duck(t: str) -> str:
+    t = t.upper()
+    if t in ("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "HUGEINT", "UBIGINT", "NUMBER"):
+        return "int"
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in ("VARCHAR", "STRING", "TEXT"):
+        return "str"
+    return t.lower()
+
+
 def norm_value(v) -> str:
     if v is None:
         return "<null>"
@@ -101,6 +127,16 @@ def main() -> int:
         problems = []
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+        else:
+            skinds = {f.name: _kind_spark(f.dataType.simpleString()) for f in sdf.schema.fields}
+            okinds = {d[0]: _kind_duck(str(d[1])) for d in res.description}
+            mismatch = {
+                c: (skinds[c], okinds[c])
+                for c in skinds
+                if okinds.get(c) and skinds[c] != okinds[c]
+            }
+            if mismatch:
+                problems.append(f"type-kind mismatch {mismatch}")
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if not problems:
