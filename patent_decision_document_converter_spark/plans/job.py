@@ -75,7 +75,8 @@ def _convert_rows(mode: str):
         import pandas as pd
 
         for pdf in batches:
-            out_rows = []
+            col_doc_id, col_spans, col_findings = [], [], []
+            col_n_in, col_n_out = [], []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
                 spans = sorted(spans, key=lambda s: s["offset"])
                 n_in = len(spans)
@@ -125,19 +126,20 @@ def _convert_rows(mode: str):
                 for i, s in enumerate(out_spans):
                     s["offset"] = i
 
-                out_rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "mode": mode,
-                        "spans": out_spans,
-                        "findings": findings,
-                        "n_spans_in": n_in,
-                        "n_spans_out": len(out_spans),
-                    }
-                )
+                col_doc_id.append(doc_id)
+                col_spans.append(out_spans)
+                col_findings.append(findings)
+                col_n_in.append(n_in)
+                col_n_out.append(len(out_spans))
             yield pd.DataFrame(
-                out_rows,
-                columns=["doc_id", "mode", "spans", "findings", "n_spans_in", "n_spans_out"],
+                {
+                    "doc_id": col_doc_id,
+                    "mode": [mode] * len(col_doc_id),
+                    "spans": col_spans,
+                    "findings": col_findings,
+                    "n_spans_in": col_n_in,
+                    "n_spans_out": col_n_out,
+                }
             )
 
     return run
