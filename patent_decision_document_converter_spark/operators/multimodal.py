@@ -143,6 +143,60 @@ def decode_media(media_df: DataFrame, impl: str = "fake") -> DataFrame:
     return media_df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType()),   # resized bytes
+        StructField("n_bytes", IntegerType()),
+        StructField("scale_denom", IntegerType()),
+    ]
+)
+
+
+def _resize_real(payload: bytes, fmt: str, scale_denom: int) -> bytes:
+    raise NotImplementedError(
+        f"real media resize ({fmt}) requires PIL/ffmpeg — not installed; "
+        "use impl='fake' for the deterministic byte-stride stand-in"
+    )
+
+
+def _resize_fake(payload: bytes, fmt: str, scale_denom: int) -> bytes:
+    """Deterministic 1/scale_denom 'resize': stride sampling of the
+    payload — preserves the schema/shape contract of a real thumbnailer."""
+    return payload[::scale_denom]
+
+
+def resize_media(media_df: DataFrame, scale_denom: int = 4, impl: str = "fake") -> DataFrame:
+    """Downscale media payloads (thumbnail step of an ingest pipeline)
+    via Arrow-batched mapInPandas; partition-preserving, no shuffle.
+    ``impl='real'`` raises at the codec call site (PIL/ffmpeg absent in
+    this container); the fake is a deterministic byte-stride."""
+    resize = _resize_real if impl == "real" else _resize_fake
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            resized = [
+                resize(bytes(p), f, scale_denom)
+                for p, f in zip(pdf["payload"], pdf["format"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "kind": pdf["kind"],
+                    "payload": resized,
+                    "n_bytes": [len(b) for b in resized],
+                    "scale_denom": [scale_denom] * len(resized),
+                }
+            )
+
+    return media_df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(media_df: DataFrame, every_n_bytes: int = 8) -> DataFrame:
     """Frame-sampling shape for video-kind media: emits one row per
     sampled "frame" (here: deterministic byte slices; real impl seeks

@@ -315,6 +315,16 @@ def test_decode_media_real_raises(media):
         multimodal.decode_media(media.limit(1), impl="real").collect()
 
 
+def test_resize_media(media):
+    out = multimodal.resize_media(media.limit(4), scale_denom=4).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["n_bytes"] == 8  # 32 bytes / 4
+        assert r["scale_denom"] == 4
+    with pytest.raises(Exception, match="(?i)not installed|NotImplemented"):
+        multimodal.resize_media(media.limit(1), impl="real").collect()
+
+
 def test_sample_frames_fanout(media):
     one = media.limit(3)
     frames = multimodal.sample_frames(one, every_n_bytes=8).collect()
