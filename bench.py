@@ -119,6 +119,11 @@ def main() -> None:
     spark = get_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm the session + OS page cache for the bench tables so the first
+    # query doesn't absorb JVM/file-index/IO startup into its reading
+    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
     qtimes: dict[str, float] = {}
     qs = contract.queries()
     for name in BENCH_QUERIES:

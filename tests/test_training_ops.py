@@ -133,6 +133,16 @@ def test_simhash_fingerprints_and_pairs(docs):
     assert pairs.get((1, 4), 99) <= 6
 
 
+def test_simhash_pandas_expr_parity(spark, docs):
+    fast = {r["doc_id"]: r["fingerprint"] for r in dedup.simhash_fingerprints(docs, impl="pandas").collect()}
+    expr = {r["doc_id"]: r["fingerprint"] for r in dedup.simhash_fingerprints(docs, impl="expr").collect()}
+    assert fast == expr
+    td = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fast = {r["doc_id"]: r["fingerprint"] for r in dedup.simhash_fingerprints(td, impl="pandas").collect()}
+    expr = {r["doc_id"]: r["fingerprint"] for r in dedup.simhash_fingerprints(td, impl="expr").collect()}
+    assert fast == expr
+
+
 def test_simhash_matches_python_oracle(docs):
     """Bit-exact python re-implementation of the fingerprint."""
     rows = {r["doc_id"]: r["fingerprint"] for r in dedup.simhash_fingerprints(docs).collect()}
