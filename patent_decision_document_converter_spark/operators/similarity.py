@@ -138,6 +138,77 @@ def ivf_topk(
     return ranked.select(F.row_number().over(w).alias("rank"), F.col(id_col))
 
 
+def _rp_plane(p: int, dim: int, tag: str = "rp") -> list[float]:
+    """Deterministic pseudo-random hyperplane: component j =
+    (md5_60bit(f"{tag}:{p}:{j}") % 2001 - 1000) / 1000.0 ∈ [-1, 1].
+    md5-derived so the SQL oracle reproduces the exact same doubles."""
+    import hashlib
+
+    return [
+        ((int(hashlib.md5(f"{tag}:{p}:{j}".encode()).hexdigest()[:15], 16) % 2001) - 1000)
+        / 1000.0
+        for j in range(dim)
+    ]
+
+
+def rp_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Signed-random-projection LSH: bucket = bit b set iff
+    dot(v, plane_b) > 0.  The scale path for cosine similarity — vectors
+    in the same bucket are likely neighbors (collision probability
+    1 - angle/π per plane); per-row projection only, no shuffle."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in _rp_plane(p, dim)])
+        bucket = bucket + F.when(dot(F.col(vec_col), plane) > 0, F.lit(1 << p)).otherwise(0)
+    return df.select(F.col(id_col), F.col(vec_col), bucket.cast("long").alias("bucket"))
+
+
+def rp_bucket_of(vec: list[float], n_planes: int = 4) -> int:
+    """Driver-side bucket of a query vector (same doubles, same
+    left-to-right sum as the engine computation)."""
+    b = 0
+    for p in range(n_planes):
+        plane = _rp_plane(p, len(vec))
+        acc = 0.0
+        for x, y in zip([float(v) for v in vec], plane):
+            acc = acc + x * y
+        if acc > 0:
+            b |= 1 << p
+    return b
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed ANN: brute-force only the query's bucket.
+
+    Recall is tunable via n_planes (fewer planes → bigger buckets) or
+    multi-probe (neighboring buckets by hamming) — this is the
+    single-probe baseline; the IVF variant covers the probed-cells shape.
+    """
+    buckets = rp_lsh_buckets(df, len(query_vec), n_planes, id_col, vec_col)
+    qb = rp_bucket_of(query_vec, n_planes)
+    cands = buckets.filter(F.col("bucket") == qb)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cands.select(F.col(id_col), cosine(F.col(vec_col), q).alias("sim"))
+    from pyspark.sql import Window
+
+    ranked = scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("sim"), F.asc(id_col))
+    return ranked.select(F.row_number().over(w).alias("rank"), F.col(id_col))
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float,

@@ -659,6 +659,66 @@ FROM s ORDER BY sim DESC, vec_id LIMIT 10
 """
 
 
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _query_vec(spark, sf_dir, 0)
+    out = similarity.ann_topk_lsh(_t(spark, sf_dir, "embeddings"), q, k=10, n_planes=4)
+    return out.select(F.col("rank").cast("long").alias("rank"), "vec_id")
+
+
+# signed-random-projection planes, reproduced in SQL from the same md5
+# derivation: plane[p][j] = (md5_60(rp:p:j) % 2001 - 1000)/1000.0
+_RP_SQL = """
+H AS (SELECT p, list(hv ORDER BY j) AS plane
+      FROM (SELECT p, j,
+                   (CAST('0x' || substr(md5('rp:' || p || ':' || j), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0 AS hv
+            FROM (SELECT unnest(range(4)) AS p)
+            CROSS JOIN (SELECT unnest(range(64)) AS j))
+      GROUP BY p),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+bucketed AS (SELECT vec_id,
+                    CAST(SUM(CASE WHEN dot > 0 THEN (1 << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+             FROM (SELECT vec_id, p,
+                          list_sum(list_transform(range(1, 65), i -> v[i] * plane[i])) AS dot
+                   FROM e CROSS JOIN H)
+             GROUP BY vec_id)
+"""
+
+_ANN_LSH_SQL = f"""
+WITH {_RP_SQL},
+qb AS (SELECT bucket FROM bucketed WHERE vec_id = 0),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+qn AS (SELECT qv, sqrt(list_sum(list_transform(qv, x -> x * x))) AS qnrm FROM q),
+s AS (SELECT e.vec_id,
+             list_sum(list_transform(range(1, 65), i -> v[i] * qv[i]))
+               / (sqrt(list_sum(list_transform(v, x -> x * x))) * qnrm) AS sim
+      FROM e
+      JOIN bucketed ON e.vec_id = bucketed.vec_id
+      CROSS JOIN qn
+      WHERE bucketed.bucket = (SELECT bucket FROM qb))
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank, vec_id
+FROM s ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path of embedding near-dup: the quadratic verify runs
+    per LSH bucket only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    buckets = similarity.rp_lsh_buckets(emb, 64, n_planes=4)
+    return similarity.cosine_pairs(buckets, threshold=0.425, bucket_col="bucket")
+
+
+_EMB_LSH_SQL = f"""
+WITH {_RP_SQL},
+n AS (SELECT e.vec_id, v, bucket,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM e JOIN bucketed ON e.vec_id = bucketed.vec_id)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM n a JOIN n b ON a.vec_id < b.vec_id AND a.bucket = b.bucket
+WHERE list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= 0.425
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis suite (operators.textstats)
 # ---------------------------------------------------------------------------
@@ -873,6 +933,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # similarity search
     "ann_topk_bruteforce": (ann_topk_bruteforce, _ANN_BF_SQL),
     "ann_topk_ivf": (ann_topk_ivf, _ANN_IVF_SQL),
+    "ann_topk_lsh": (ann_topk_lsh, _ANN_LSH_SQL),
+    "dedup_embedding_lsh": (dedup_embedding_lsh, _EMB_LSH_SQL),
     # text analysis
     "text_token_stats": (text_token_stats, _TOKEN_STATS_SQL),
     "text_lang_id": (text_lang_id, _LANG_ID_SQL),

@@ -206,6 +206,20 @@ def test_ivf_topk_probes_right_cells(vectors):
     assert got[0] == 0  # the query vector itself
 
 
+def test_rp_lsh_buckets_and_ann(vectors):
+    df, rows = vectors
+    buckets = {r["vec_id"]: r["bucket"] for r in similarity.rp_lsh_buckets(df, 8, n_planes=4).collect()}
+    assert all(0 <= b < 16 for b in buckets.values())
+    # driver-side query bucket matches the engine's bucket for the same vector
+    assert similarity.rp_bucket_of(rows[0][1], 4) == buckets[0]
+    got = [r["vec_id"] for r in similarity.ann_topk_lsh(df, rows[0][1], k=5, n_planes=2).orderBy("rank").collect()]
+    assert got and got[0] == 0  # query's own vector is in its own bucket, rank 1
+    # every result is from the query's bucket
+    b2 = {r["vec_id"]: r["bucket"] for r in similarity.rp_lsh_buckets(df, 8, n_planes=2).collect()}
+    qb = similarity.rp_bucket_of(rows[0][1], 2)
+    assert all(b2[i] == qb for i in got)
+
+
 def test_cosine_pairs_threshold_and_bucket(vectors):
     df, rows = vectors
     pairs = {(r["id_a"], r["id_b"]) for r in similarity.cosine_pairs(df, 0.9).collect()}
