@@ -890,6 +890,19 @@ def convert_office_action(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def convert_paragraph_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """paragraph mode (extractParagraphAndFigureRefs) through the job.
+    Rows-only driver check; the relational twin is proven equal to this
+    exact UDF in tests/test_parex_relational.py."""
+    from .job import convert_documents
+
+    out = convert_documents(_docs_as_spans(spark, sf_dir), mode="paragraph")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("spans")[0]["text"].alias("refs"),
+    )
+
+
 def convert_html_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span classifier (to_HTML-equivalent) over the corpus — emits the
     classified-output digest per doc.  Rows-only driver check."""
@@ -944,6 +957,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # conversion engine (rows-only)
     "convert_office_action": (convert_office_action, None),
     "convert_html_spans": (convert_html_spans, None),
+    "convert_paragraph_refs": (convert_paragraph_refs, None),
 }
 
 
