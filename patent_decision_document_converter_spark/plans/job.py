@@ -52,9 +52,18 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime re-plan — partition coalescing and skew-join
+        # splitting are the first line of defense against data skew at
+        # corpus scale (the salted repartition handles the rest)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # spill-awareness: cap scan split size so a partition of fat
+        # document rows fits executor memory at the target SF
+        .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # document rows are KB-MB; small Arrow batches bound the python
+        # worker's peak memory when megadocs cluster in a batch
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
         .config("spark.driver.memory", _os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
