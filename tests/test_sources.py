@@ -1,0 +1,86 @@
+"""Source-format coverage: JSONL round-trip, raw-text-dir ingestion, and
+the bucketed-table shuffle-free join strategy."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from patent_decision_document_converter_spark.plans.job import convert_documents, get_spark
+from patent_decision_document_converter_spark.plans.registry import convert_text
+from patent_decision_document_converter_spark.sources import ingest
+from patent_decision_document_converter_spark.sources.documents import create_documents_df
+from patent_decision_document_converter_spark.sources.generator import (
+    doc_text_from_spans,
+    make_documents_rows,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    yield get_spark(app_name="pytest-sources", master="local[4]", shuffle_partitions=4)
+
+
+def test_jsonl_roundtrip_and_convert(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("jsonl"))
+    rows = make_documents_rows(25, seed=17, mega_frac=0.0)
+    df = create_documents_df(spark, rows)
+    ingest.write_documents_jsonl(df, os.path.join(base, "docs"))
+    back = ingest.read_documents_jsonl(spark, os.path.join(base, "docs"))
+
+    orig = {r["doc_id"]: r.asDict(recursive=True) for r in convert_documents(df, "pct").collect()}
+    rt = {r["doc_id"]: r.asDict(recursive=True) for r in convert_documents(back, "pct").collect()}
+    assert orig == rt  # JSONL round-trip is conversion-lossless
+
+
+def test_raw_text_dir_ingestion(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("rawtxt"))
+    rows = make_documents_rows(10, seed=23, media_spans=0, mega_frac=0.0)
+    rows = [
+        {"doc_id": r["doc_id"], "spans": [s for s in r["spans"] if s["kind"] == "text"]}
+        for r in rows
+    ]
+    ingest.stage_raw_text_dir(rows, base)
+    docs = ingest.read_raw_text_dir(spark, base)
+    assert docs.count() == 10
+
+    out = {r["doc_id"]: r for r in convert_documents(docs, "officeAction").collect()}
+    for r in rows:
+        expected = convert_text(doc_text_from_spans(r["spans"]), "officeAction")
+        assert out[r["doc_id"]]["spans"][0]["text"] == expected
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path_factory):
+    """Faster-join strategy: co-bucketed saveAsTable tables sort-merge
+    join with ZERO Exchange in the plan (the persisted-layout form of
+    'repartition once, join many times' at corpus scale)."""
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    rows = make_documents_rows(60, seed=31, mega_frac=0.0)
+    df = create_documents_df(spark, rows)
+    converted = convert_documents(df, "pct")
+
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS docs_bkt")
+    spark.sql("DROP TABLE IF EXISTS conv_bkt")
+    # a previously interrupted run can leave an orphan managed-table dir
+    for t in ("docs_bkt", "conv_bkt"):
+        shutil.rmtree(os.path.join("spark-warehouse", t), ignore_errors=True)
+    df.write.bucketBy(4, "doc_id").sortBy("doc_id").mode("overwrite").saveAsTable("docs_bkt")
+    converted.write.bucketBy(4, "doc_id").sortBy("doc_id").mode("overwrite").saveAsTable("conv_bkt")
+
+    # force the SMJ path (not broadcast) so the bucket layout carries the join
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("docs_bkt")
+            .join(spark.table("conv_bkt").withColumnRenamed("spans", "spans_out"), "doc_id")
+            .select("doc_id", F.size("spans").alias("n_in"), F.size("spans_out").alias("n_out"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert "Exchange" not in plan, plan[:2000]
+        assert joined.count() == 60
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
