@@ -216,6 +216,60 @@ SELECT n_name, c_custkey, spend_cents FROM ranked WHERE rn = 1
 """
 
 
+def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (anti-join form of EXCEPT): orders with no items."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+_ORDERS_NO_ITEMS_SQL = """
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+"""
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (region → nation → total) with grouping ids —
+    the OLAP cube slice over the star join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+_ROLLUP_SQL = f"""
+SELECT r_name, n_name,
+       CAST(SUM({_REV_CENTS}) AS BIGINT) AS revenue_cents,
+       CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid
+FROM lineitem
+JOIN orders   ON l_orderkey  = o_orderkey
+JOIN customer ON o_custkey   = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
 def orders_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROWS-frame window aggregate: per-customer rolling sum of the last
     3 orders (by date, keyed tie-break) — integer cents."""
@@ -928,6 +982,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "top_customer_per_nation": (top_customer_per_nation, _TOP_CUST_SQL),
     "order_priority_count": (order_priority_count, _ORDER_PRIO_SQL),
     "orders_rolling_sum": (orders_rolling_sum, _ROLLING_SQL),
+    "orders_without_lineitems": (orders_without_lineitems, _ORDERS_NO_ITEMS_SQL),
+    "revenue_rollup": (revenue_rollup, _ROLLUP_SQL),
     "part_brand_stats": (part_brand_stats, _PART_BRAND_SQL),
     "supplier_balance_by_nation": (supplier_balance_by_nation, _SUPPLIER_BAL_SQL),
     "events_sessionize": (events_sessionize, _SESSIONIZE_SQL),
