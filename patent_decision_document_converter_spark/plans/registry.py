@@ -227,6 +227,37 @@ def convert_text(text: str, mode: str = "officeAction") -> str:
         return "" if text is None else str(text)
 
 
+def register_sql_udfs(spark, prefix: str = "convert_") -> list[str]:
+    """Expose every mode to SQL users as Arrow-batched scalar UDFs:
+
+        SELECT convert_officeAction(text) FROM documents
+
+    Each UDF is the same fused pipeline as the job (pandas Series in/out,
+    one Arrow hop per batch).  Returns the registered function names.
+    Reference parity: the mode radio buttons of gpt.html:55-157 as a SQL
+    surface."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    names = []
+    for mode in MODES:
+        fn = mode_fn(mode)
+
+        def make(f):
+            def _run(s):
+                return s.map(lambda t: f("" if t is None else str(t)))
+
+            # real annotation objects: `from __future__ import annotations`
+            # would stringify inline hints, which pyspark can't resolve here
+            _run.__annotations__ = {"s": pd.Series, "return": pd.Series}
+            return pandas_udf(_run, "string")
+
+        name = f"{prefix}{mode}"
+        spark.udf.register(name, make(fn))
+        names.append(name)
+    return names
+
+
 def mode_fn(mode: str) -> StrFilter:
     """One fused callable for a mode (pre-step + all chains), suitable for
     wrapping in a single mapInPandas stage."""

@@ -50,6 +50,31 @@ def test_raw_text_dir_ingestion(spark, tmp_path_factory):
         assert out[r["doc_id"]]["spans"][0]["text"] == expected
 
 
+def test_sql_udf_surface(spark):
+    """Registered SQL UDFs run the exact fused pipelines."""
+    from patent_decision_document_converter_spark.plans.registry import register_sql_udfs
+
+    names = register_sql_udfs(spark)
+    assert "convert_officeAction" in names and len(names) == 8
+    rows = make_documents_rows(8, seed=41, media_spans=0, mega_frac=0.0)
+    df = spark.createDataFrame(
+        [(r["doc_id"], doc_text_from_spans([s for s in r["spans"] if s["kind"] == "text"])) for r in rows],
+        ["doc_id", "text"],
+    )
+    df.createOrReplaceTempView("raw_docs")
+    got = {
+        r["doc_id"]: (r["oa"], r["par"])
+        for r in spark.sql(
+            "SELECT doc_id, convert_officeAction(text) AS oa, convert_paragraph(text) AS par FROM raw_docs"
+        ).collect()
+    }
+    for r in df.collect():
+        assert got[r["doc_id"]] == (
+            convert_text(r["text"], "officeAction"),
+            convert_text(r["text"], "paragraph"),
+        )
+
+
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path_factory):
     """Faster-join strategy: co-bucketed saveAsTable tables sort-merge
     join with ZERO Exchange in the plan (the persisted-layout form of
