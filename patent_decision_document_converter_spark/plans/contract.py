@@ -19,6 +19,7 @@ The SQL side is the semantic spec, not the physical plan.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -909,8 +910,20 @@ FROM flag GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
-# conversion engine (non-SQL-expressible → rows-only driver check)
+# conversion engine — oracle = REFERENCE-computed expectations
+#
+# The conversion itself is per-document state machines + a trie (not
+# SQL-expressible), so the DuckDB oracle reads digests of the REFERENCE
+# JS pipeline's outputs, frozen once per corpus by
+# tools/freeze_convert_oracle.py (which runs /root/reference's own code
+# under node).  The join on (doc_id, md5(text)) both selects the active
+# sf's rows and fails loudly (row-count 0) if the corpus ever changes.
 # ---------------------------------------------------------------------------
+
+_CONVERT_EXPECTED = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "expected", "convert_expected.parquet",
+)
 
 
 def _docs_as_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -931,8 +944,9 @@ def _docs_as_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def convert_office_action(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship conversion: full officeAction pipeline (23 fused filter
-    steps + typo findings) via one mapInPandas stage.  Not SQL-expressible
-    (per-document state machines + trie) → rows-only driver check."""
+    steps + typo findings) via one mapInPandas stage.  The DuckDB oracle
+    compares against digests of the REFERENCE JS pipeline's own outputs
+    (frozen by tools/freeze_convert_oracle.py)."""
     from .job import convert_documents
 
     out = convert_documents(_docs_as_spans(spark, sf_dir), mode="officeAction")
@@ -944,10 +958,21 @@ def convert_office_action(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONVERT_OA_SQL = f"""
+SELECT CAST(e.doc_id AS BIGINT)        AS doc_id,
+       CAST(e.n_spans_out AS BIGINT)   AS n_spans_out,
+       e.oa_md5                        AS out_md5,
+       CAST(e.oa_n_findings AS BIGINT) AS n_findings
+FROM read_parquet('{_CONVERT_EXPECTED}') e
+JOIN documents d ON d.doc_id = e.doc_id AND md5(d.text) = e.in_md5
+"""
+
+
 def convert_paragraph_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """paragraph mode (extractParagraphAndFigureRefs) through the job.
-    Rows-only driver check; the relational twin is proven equal to this
-    exact UDF in tests/test_parex_relational.py."""
+    Oracle = the reference JS parExtract output, frozen per-corpus; the
+    relational twin is additionally proven equal to this exact UDF in
+    tests/test_parex_relational.py."""
     from .job import convert_documents
 
     out = convert_documents(_docs_as_spans(spark, sf_dir), mode="paragraph")
@@ -957,9 +982,18 @@ def convert_paragraph_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONVERT_PAR_SQL = f"""
+SELECT CAST(e.doc_id AS BIGINT) AS doc_id,
+       e.par_refs               AS refs
+FROM read_parquet('{_CONVERT_EXPECTED}') e
+JOIN documents d ON d.doc_id = e.doc_id AND md5(d.text) = e.in_md5
+"""
+
+
 def convert_html_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span classifier (to_HTML-equivalent) over the corpus — emits the
-    classified-output digest per doc.  Rows-only driver check."""
+    classified-output digest per doc.  Oracle = the reference JS
+    makeHtml output digests, frozen per-corpus."""
     from .job import convert_documents
 
     out = convert_documents(_docs_as_spans(spark, sf_dir), mode="html")
@@ -968,6 +1002,15 @@ def convert_html_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("spans")[0]["text"]).alias("html_md5"),
         F.length(F.col("spans")[0]["text"]).cast("long").alias("html_len"),
     )
+
+
+_CONVERT_HTML_SQL = f"""
+SELECT CAST(e.doc_id AS BIGINT)   AS doc_id,
+       e.html_md5                 AS html_md5,
+       CAST(e.html_len AS BIGINT) AS html_len
+FROM read_parquet('{_CONVERT_EXPECTED}') e
+JOIN documents d ON d.doc_id = e.doc_id AND md5(d.text) = e.in_md5
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1010,10 +1053,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_quality": (text_quality, _QUALITY_SQL),
     "text_winnow_fp": (text_winnow_fp, _WINNOW_SQL),
     "text_doubled_tokens": (text_doubled_tokens, _DOUBLED_SQL),
-    # conversion engine (rows-only)
-    "convert_office_action": (convert_office_action, None),
-    "convert_html_spans": (convert_html_spans, None),
-    "convert_paragraph_refs": (convert_paragraph_refs, None),
+    # conversion engine — oracle = frozen reference-JS expectations
+    "convert_office_action": (convert_office_action, _CONVERT_OA_SQL),
+    "convert_html_spans": (convert_html_spans, _CONVERT_HTML_SQL),
+    "convert_paragraph_refs": (convert_paragraph_refs, _CONVERT_PAR_SQL),
 }
 
 
