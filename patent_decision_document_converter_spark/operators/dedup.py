@@ -349,26 +349,28 @@ def simhash_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 32,
+    bits: int = 60,
     impl: str = "pandas",
 ) -> DataFrame:
-    """32-bit SimHash per doc over distinct unigram tokens.
+    """60-bit SimHash per doc over distinct unigram tokens.
 
-    fp bit b = sign( sum over tokens of (+1 if bit b of md5_int32(tok) else -1) )
+    fp bit b = sign( sum over tokens of (+1 if bit b of md5_long(tok) else -1) )
 
     ``impl='pandas'`` (default): hashlib-backed Arrow-batched twin —
     byte-identical fingerprints, ~100x cheaper per hash than the
     interpreted expression path.  ``impl='expr'``: one nested
     ``aggregate`` expression per row — zero Python, the
-    oracle-transparent form.  32 bits keeps the fingerprint portable
-    (fits bigint).
+    oracle-transparent form.  60 bits (first 15 md5 hex digits, the
+    md5_long convention) keeps the fingerprint portable (fits bigint,
+    no sign issues) while giving the near-dup banding enough band
+    width to survive corpus scale (see :func:`simhash_near_dups`).
     """
     if impl == "pandas":
         return _simhash_fingerprints_pandas(df, id_col, text_col, bits)
     toks = F.array_distinct(tokens(text_col))
     hashes = F.transform(
         toks,
-        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
     )
     # shift-by-column isn't exposed in the Python DSL — SQL lambda form
     # (same Catalyst HigherOrderFunction either way)
@@ -412,7 +414,7 @@ def _simhash_fingerprints_pandas(
                 toks = set(norm.split(" "))
                 sums = [0] * bits
                 for t in toks:
-                    h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+                    h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
                     for b in range(bits):
                         sums[b] += 1 if (h >> b) & 1 else -1
                 fp = 0
@@ -427,17 +429,24 @@ def _simhash_fingerprints_pandas(
 
 
 def simhash_near_dups(
-    fps: DataFrame, id_col: str = "doc_id", max_hamming: int = 6, bits: int = 32, band_bits: int = 8
+    fps: DataFrame, id_col: str = "doc_id", max_hamming: int = 6, bits: int = 60, band_bits: int = 15
 ) -> DataFrame:
     """Near-dup pairs with hamming(fp_a, fp_b) <= max_hamming.
 
-    Pigeonhole banding: split the 32-bit fingerprint into 4 bands of 8 bits
-    and join on (band_id, band value).  Any pair with hamming ≤ 3 is
+    Pigeonhole banding: split the 60-bit fingerprint into 4 bands of 15
+    bits and join on (band_id, band value).  Any pair with hamming ≤ 3 is
     guaranteed caught (4 bands, ≤3 differing bits ⇒ at least one band is
     identical); pairs with hamming 4..max_hamming are caught when their
     differing bits don't spread across all 4 bands — the standard
     LSH-recall trade-off at corpus scale (raise band count for recall).
-    Join key is (band_id, 8-bit value) — never a cartesian.
+
+    Scale: the join key is (band_id, 15-bit value) — 32,768 distinct
+    values per band, vs 256 with the naive 32-bit/8-bit parameterization
+    whose collision groups grow as n/256 and turn the self-join quadratic
+    at corpus scale.  For 10^12 docs, go wider still (band_bits 20-30 via
+    a 2nd hash word) and/or pre-cluster by exact-dup key first; group
+    sizes scale as n / 2^band_bits and the per-group work is quadratic,
+    so band width must track log2(n) (PLANS.md §simhash).
     """
     n_bands = bits // band_bits
     bands_expr = (

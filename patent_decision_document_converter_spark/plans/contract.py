@@ -605,10 +605,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_SQL = f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
 tk AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t),
-th AS (SELECT doc_id, {_SQL_H32.format(x="tok")} AS h FROM tk),
+th AS (SELECT doc_id, {_SQL_H60.format(x="tok")} AS h FROM tk),
 bits AS (SELECT doc_id, b,
                 SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-         FROM th CROSS JOIN (SELECT unnest(range(32)) AS b) GROUP BY doc_id, b)
+         FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) GROUP BY doc_id, b)
 SELECT doc_id,
        CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS fingerprint
 FROM bits GROUP BY doc_id
@@ -624,15 +624,15 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_PAIRS_SQL = f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
 tk AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t),
-th AS (SELECT doc_id, {_SQL_H32.format(x="tok")} AS h FROM tk),
+th AS (SELECT doc_id, {_SQL_H60.format(x="tok")} AS h FROM tk),
 bits AS (SELECT doc_id, b,
                 SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-         FROM th CROSS JOIN (SELECT unnest(range(32)) AS b) GROUP BY doc_id, b),
+         FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) GROUP BY doc_id, b),
 fp AS (SELECT doc_id,
               CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS fingerprint
        FROM bits GROUP BY doc_id),
 band AS (SELECT doc_id, fingerprint, b AS band_id,
-                (fingerprint >> CAST(b * 8 AS INTEGER)) & 255 AS band_val
+                (fingerprint >> CAST(b * 15 AS INTEGER)) & 32767 AS band_val
          FROM fp CROSS JOIN (SELECT unnest(range(4)) AS b))
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS BIGINT) AS hamming

@@ -123,7 +123,7 @@ def test_ngram_jaccard_exact_values(docs):
 def test_simhash_fingerprints_and_pairs(docs):
     fps = {r["doc_id"]: r["fingerprint"] for r in dedup.simhash_fingerprints(docs).collect()}
     assert fps[1] == fps[2] == fps[3]  # same distinct-token set
-    assert 0 <= fps[1] < (1 << 32)
+    assert 0 <= fps[1] < (1 << 60)
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
         for r in dedup.simhash_near_dups(dedup.simhash_fingerprints(docs)).collect()
@@ -153,10 +153,10 @@ def test_simhash_matches_python_oracle(docs):
             if t not in toks:
                 toks.append(t)
         fp = 0
-        for b in range(32):
+        for b in range(60):
             s = 0
             for t in toks:
-                h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+                h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
                 s += 1 if (h >> b) & 1 else -1
             if s > 0:
                 fp |= 1 << b
