@@ -126,11 +126,14 @@ def main() -> None:
 
     qtimes: dict[str, float] = {}
     qs = contract.queries()
+    from patent_decision_document_converter_spark.functions.cachereg import release_cached
+
     for name in BENCH_QUERIES:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         df.collect()
         qtimes[name] = round(time.time() - t0, 3)
+        release_cached()  # drop operator-persisted intermediates between queries
 
     t0 = time.time()
     conv = contract.convert_office_action(spark, sf_dir)

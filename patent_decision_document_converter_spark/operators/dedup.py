@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.cachereg import track
 from ..functions.hashing import md5_long
 
 # ---------------------------------------------------------------------------
@@ -267,7 +268,7 @@ def minhash_lsh_candidates(
     # materialize before the self-join: otherwise BOTH join sides re-run the
     # full signature lineage (hash computation is the expensive stage; the
     # band table is tiny — id + 2 longs per band)
-    banded = banded.persist()
+    banded = track(banded)  # released via functions.cachereg.release_cached()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -367,7 +368,13 @@ def simhash_fingerprints(
     """
     if impl == "pandas":
         return _simhash_fingerprints_pandas(df, id_col, text_col, bits)
-    toks = F.array_distinct(tokens(text_col))
+    # NULL text folds to "" (the pandas twin's semantics) — without the
+    # coalesce the whole expression is NULL and the row's fingerprint
+    # silently diverges between the two impls
+    norm = F.lower(
+        F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " "))
+    )
+    toks = F.array_distinct(F.split(norm, " "))
     hashes = F.transform(
         toks,
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
@@ -457,7 +464,8 @@ def simhash_near_dups(
         F.col(id_col),
         F.col("fingerprint"),
         F.posexplode(F.expr(bands_expr)).alias("band_id", "band_val"),
-    ).persist()  # one fingerprint pass feeds both self-join sides
+    )
+    banded = track(banded)  # one fingerprint pass feeds both self-join sides
     a = banded.alias("a")
     b = banded.alias("b")
     return (

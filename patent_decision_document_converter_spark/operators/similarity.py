@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.cachereg import track
+
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -230,7 +232,8 @@ def cosine_pairs(
         _as_double(F.col(vec_col)).alias("v"),
         l2_norm(F.col(vec_col)).alias("nrm"),
         *([F.col(bucket_col).alias("bk")] if bucket_col else []),
-    ).persist()  # norms computed once, reused by both self-join sides
+    )
+    base = track(base)  # norms computed once; released via cachereg.release_cached()
     a = base.alias("a")
     b = base.alias("b")
     cond = F.col("a.id") < F.col("b.id")

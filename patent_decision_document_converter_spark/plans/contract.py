@@ -46,11 +46,15 @@ _REV_CENTS = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
 
 # DuckDB fragment: normalized text + whitespace tokens (mirror of
 # operators.dedup.normalized_text / tokens — NOTE the 'g' flag: DuckDB
-# regexp_replace is single-match by default, Spark's is global).
-_SQL_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+# regexp_replace is single-match by default, Spark's is global; and the
+# explicit class: RE2's \s is [\t\n\f\r ] while Java/Python \s also
+# matches \x0b (vertical tab), so spelling the class out keeps both
+# engines identical on adversarial whitespace.
+_SQL_WS = "'[ \\t\\n\\x0b\\f\\r]+'"
+_SQL_NORM = f"lower(trim(regexp_replace(text, {_SQL_WS}, ' ', 'g')))"
 _SQL_TOKS = f"string_split({_SQL_NORM}, ' ')"
 # textstats.ws_tokens mirror: NOT lowercased, empty text → empty list
-_SQL_WSTRIM = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+_SQL_WSTRIM = f"trim(regexp_replace(text, {_SQL_WS}, ' ', 'g'))"
 _SQL_WSTOKS = (
     f"CASE WHEN len({_SQL_WSTRIM}) > 0 THEN string_split({_SQL_WSTRIM}, ' ') "
     "ELSE CAST([] AS VARCHAR[]) END"
@@ -437,8 +441,11 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ((k % 10) + 10) % 10 mirrors Spark's pmod for negative k (DuckDB's %
+# truncates toward zero); current data is non-negative but the oracle
+# should not depend on that.
 _JSON_SQL = """
-SELECT k - (k % 10) AS k_bucket, COUNT(*) AS n
+SELECT k - (((k % 10) + 10) % 10) AS k_bucket, COUNT(*) AS n
 FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
 GROUP BY 1
 """
@@ -603,7 +610,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIMHASH_SQL = f"""
-WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks
+           FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents)),
 tk AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t),
 th AS (SELECT doc_id, {_SQL_H60.format(x="tok")} AS h FROM tk),
 bits AS (SELECT doc_id, b,
@@ -622,7 +630,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIMHASH_PAIRS_SQL = f"""
-WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks
+           FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents)),
 tk AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t),
 th AS (SELECT doc_id, {_SQL_H60.format(x="tok")} AS h FROM tk),
 bits AS (SELECT doc_id, b,
@@ -882,15 +891,23 @@ m AS (SELECT doc_id, pos,
              n_grams,
              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
       FROM h),
-keep AS (SELECT DISTINCT doc_id, fp FROM m WHERE n_grams < 5 OR rn <= n_grams - 4)
-SELECT doc_id,
-       COUNT(*)  AS n_fingerprints,
-       MIN(fp)   AS min_fp,
-       MAX(fp)   AS max_fp,
-       {_SQL_H60.format(x="string_agg(CAST(fp AS VARCHAR), ',' ORDER BY fp)")} AS fp_set_hash
-FROM keep GROUP BY doc_id
+keep AS (SELECT DISTINCT doc_id, fp FROM m WHERE n_grams < 5 OR rn <= n_grams - 4),
+agg AS (SELECT doc_id,
+               COUNT(*)  AS n_fingerprints,
+               MIN(fp)   AS min_fp,
+               MAX(fp)   AS max_fp,
+               {_SQL_H60.format(x="string_agg(CAST(fp AS VARCHAR), ',' ORDER BY fp)")} AS fp_set_hash
+        FROM keep GROUP BY doc_id)
+-- LEFT JOIN back: a doc with < 4 tokens has no 4-grams (every gram NULL)
+-- but the Spark operator still emits its row with n_fingerprints = 0 and
+-- fp_set_hash = md5_long('') — mirror that instead of dropping the doc.
+SELECT d.doc_id,
+       COALESCE(a.n_fingerprints, 0) AS n_fingerprints,
+       COALESCE(a.min_fp, 0)         AS min_fp,
+       COALESCE(a.max_fp, 0)         AS max_fp,
+       COALESCE(a.fp_set_hash, {_SQL_H60.format(x="''")}) AS fp_set_hash
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
-
 
 def text_doubled_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = textstats.doubled_token_counts(_t(spark, sf_dir, "documents"))

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.cachereg import track
 from ..operators import dedup, textstats
 from .job import convert_documents, quarantine_split
 
@@ -57,12 +58,17 @@ def curate_corpus(
     """Run the full curation pipeline; returns (curated spans DataFrame,
     per-stage metrics dict).
 
+    Intermediates are persisted via functions.cachereg — after consuming
+    the returned DataFrame (write/collect), call
+    ``functions.cachereg.release_cached()`` to free executor storage
+    memory; repeated runs in one session otherwise accumulate blocks.
+
     The token-count gate is script-aware: spaceless CJK text tokenizes
     to very few whitespace tokens, so docs whose mean token length is
     CJK-run-sized (≥10 chars) pass on ``min_chars`` alone."""
     metrics: dict[str, int] = {"input_docs": docs.count()}
 
-    converted = convert_documents(docs, mode=mode).persist()
+    converted = track(convert_documents(docs, mode=mode))
     clean, quarantined = quarantine_split(converted)
     metrics["quarantined"] = quarantined.count()
 
@@ -91,7 +97,8 @@ def curate_corpus(
     canonical = hashed.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
     text_e = hashed.join(canonical, ["content_hash", "doc_id"], "left_semi").select(
         "doc_id", "text"
-    ).persist()
+    )
+    text_e = track(text_e)
     metrics["after_exact_dedup"] = text_e.count()
 
     # near-dup removal: LSH candidates -> integer-Jaccard verify.

@@ -323,11 +323,20 @@ def convert_documents_exploded(df: DataFrame, mode: str = "officeAction") -> Dat
             F.size(F.col("_ordered")).alias("n_spans_out"),
         )
     )
+    # LEFT join from the input's doc_id universe: a doc with an empty
+    # spans array yields no exploded rows (and so no stitched row) but
+    # must still appear in the output — with empty spans/findings — to
+    # keep the IDENTICAL-output contract with the nested strategy.
     n_in = df.select("doc_id", F.size("spans").alias("n_spans_in"))
-    return stitched.join(n_in, "doc_id").select(
-        "doc_id", "mode", "spans", "findings",
+    empty_spans = F.array().cast(SPANS_OUT_SCHEMA["spans"].dataType)
+    empty_findings = F.array().cast(SPANS_OUT_SCHEMA["findings"].dataType)
+    return n_in.join(stitched, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("mode", F.lit(mode)).alias("mode"),
+        F.coalesce("spans", empty_spans).alias("spans"),
+        F.coalesce("findings", empty_findings).alias("findings"),
         F.col("n_spans_in").cast("int").alias("n_spans_in"),
-        F.col("n_spans_out").cast("int").alias("n_spans_out"),
+        F.coalesce(F.col("n_spans_out"), F.lit(0)).cast("int").alias("n_spans_out"),
     )
 
 

@@ -118,13 +118,19 @@ def _sessionize_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Gap-based session counter.  State carries (last_ts_us, n_sessions,
-    n_events) across micro-batches; within a batch events are sorted by
-    (ts, event_id) — same total order as the batch sessionize query."""
+    n_events) across micro-batches; within a batch ALL of the group's
+    Arrow chunks are concatenated and sorted once by (ts, event_id) —
+    applyInPandasWithState gives no cross-chunk ordering guarantee, so a
+    per-chunk sort would fold a >1-chunk group (>256 events with our
+    Arrow batch size) in a different total order than the batch
+    sessionize query."""
     if state.exists:
         last_ts, n_sessions, n_events = state.get
     else:
         last_ts, n_sessions, n_events = None, 0, 0
-    for pdf in pdfs:
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
         pdf = pdf.sort_values(["ts", "event_id"])
         for ts in pdf["ts"]:
             ts_us = int(ts.value // 1000)  # pandas ns -> us

@@ -127,7 +127,15 @@ def test_exploded_strategy_equals_nested(spark, docs_rows):
         {"doc_id": "mega-" + r["doc_id"], "spans": r["spans"]}
         for r in make_documents_rows(6, seed=99, mega_frac=1.0)  # force megadocs
     ]
-    rows = docs_rows + mega
+    # empty / media-only docs: explode yields no text rows — must not drop
+    degenerate = [
+        {"doc_id": "empty-spans", "spans": []},
+        {
+            "doc_id": "media-only",
+            "spans": [{"kind": "figure", "text": "[図1]", "media_ref": "m:1", "offset": 0}],
+        },
+    ]
+    rows = docs_rows + mega + degenerate
     df = create_documents_df(spark, rows)
     for mode in ("officeAction", "pct", "html"):
         nested = {

@@ -145,3 +145,39 @@ def test_sessionize_stream_matches_batch(spark, events_dir):
         for r in events_sessionize(spark, "/root/testdata/sf0.001").collect()
     }
     assert got == want
+
+
+def test_sessionize_stream_multichunk_group(spark, tmp_path_factory):
+    """A group larger than one Arrow chunk (ARROW_MAX_RECORDS=256) must
+    fold in global (ts, event_id) order — applyInPandasWithState gives no
+    cross-chunk ordering guarantee, so the UDF has to concatenate chunks
+    before sorting."""
+    import datetime as dt
+    import random
+
+    base = str(tmp_path_factory.mktemp("sess_big"))
+    rng = random.Random(7)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    ts = t0
+    for i in range(800):  # > 3 Arrow chunks for one user
+        # ~1/40 events open a new session (gap > 30 min)
+        gap = dt.timedelta(minutes=45 if rng.random() < 0.025 else 3)
+        ts = ts + gap
+        rows.append((i, ts, 1, "click", 1.0, "{}"))
+    expected_sessions = 1 + sum(
+        1 for i in range(1, len(rows)) if (rows[i][1] - rows[i - 1][1]).total_seconds() > 1800
+    )
+    rng.shuffle(rows)  # arrival order != time order
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.coalesce(1).write.parquet(base + "/in")
+
+    stream = spark.readStream.schema(df.schema).parquet(base + "/in")
+    out = stream_job.sessionize_stream(stream)
+    stream_job.run_stream_to_memory(out, "sess_big_test", output_mode="update")
+    got = spark.sql(
+        "SELECT last(n_sessions) AS s, last(n_events) AS e FROM sess_big_test WHERE user_id = 1"
+    ).collect()[0]
+    assert (got["s"], got["e"]) == (expected_sessions, 800)

@@ -137,6 +137,11 @@ def test_simhash_pandas_expr_parity(spark, docs):
     fast = {r["doc_id"]: r["fingerprint"] for r in dedup.simhash_fingerprints(docs, impl="pandas").collect()}
     expr = {r["doc_id"]: r["fingerprint"] for r in dedup.simhash_fingerprints(docs, impl="expr").collect()}
     assert fast == expr
+    # NULL / empty text must not diverge between the impls
+    edge = spark.createDataFrame([(100, None), (101, ""), (102, "   ")], "doc_id long, text string")
+    fast = {r["doc_id"]: r["fingerprint"] for r in dedup.simhash_fingerprints(edge, impl="pandas").collect()}
+    expr = {r["doc_id"]: r["fingerprint"] for r in dedup.simhash_fingerprints(edge, impl="expr").collect()}
+    assert fast == expr and len(fast) == 3
     td = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     fast = {r["doc_id"]: r["fingerprint"] for r in dedup.simhash_fingerprints(td, impl="pandas").collect()}
     expr = {r["doc_id"]: r["fingerprint"] for r in dedup.simhash_fingerprints(td, impl="expr").collect()}
