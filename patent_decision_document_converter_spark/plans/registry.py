@@ -25,9 +25,16 @@ StrFilter = Callable[[str], str]
 
 @dataclass
 class Step:
+    """One pipeline step — FilterStep {fn, name?, args?, enabled?}
+    (filterRegistry.js:68-77).  ``args`` are the step's own extra
+    parameters, passed after the current string and before any
+    invoke-time args: ``fn(current, *args, *invoke_args)``
+    (filterRegistry.js:426-445)."""
+
     fn: StrFilter
     name: str
     enabled: bool = True
+    args: tuple = ()
 
 
 @dataclass
@@ -49,10 +56,39 @@ class PipelineRegistry:
     _after_hooks: list = field(default_factory=list)
     _error_hooks: list = field(default_factory=list)
 
-    def register(self, name: str, steps: list[StrFilter]) -> None:
-        self._pipelines[name] = [
-            Step(fn=s, name=getattr(s, "__name__", f"step{i}")) for i, s in enumerate(steps)
-        ]
+    def register(self, name: str, steps: list) -> None:
+        self._pipelines[name] = self._normalize_steps(steps)
+
+    @staticmethod
+    def _normalize_step(item, i: int = 0) -> Step:
+        """callable | Step | {fn, name?, args?, enabled?} -> Step
+        (filterRegistry.js:364-389 _normalizeToStep)."""
+        if isinstance(item, Step):
+            return item
+        if callable(item):
+            return Step(fn=item, name=getattr(item, "__name__", f"step{i}"))
+        if isinstance(item, dict):
+            fn = item.get("fn")
+            if not callable(fn):
+                raise TypeError("FilterStep dict requires a callable 'fn'")
+            return Step(
+                fn=fn,
+                name=item.get("name") or getattr(fn, "__name__", f"step{i}"),
+                enabled=item.get("enabled", True) is not False,
+                args=tuple(item.get("args") or ()),
+            )
+        raise TypeError(f"step must be callable, Step, or dict; got {type(item)!r}")
+
+    @classmethod
+    def _normalize_steps(cls, steps) -> list[Step]:
+        if steps is None:
+            raise TypeError("no filter list given")
+        if not isinstance(steps, (list, tuple)):
+            steps = [steps]
+        out = [cls._normalize_step(item, i) for i, item in enumerate(steps)]
+        if not out:
+            raise ValueError("filter list has no steps")
+        return out
 
     def unregister(self, name: str) -> None:
         self._pipelines.pop(name, None)
@@ -63,11 +99,13 @@ class PipelineRegistry:
     def names(self) -> list[str]:
         return list(self._pipelines)
 
-    def insert(self, name: str, index: int, fn: StrFilter, step_name: str | None = None) -> None:
-        """Insert a step at a position (filterRegistry.js insert)."""
-        self._pipelines[name].insert(
-            index, Step(fn=fn, name=step_name or getattr(fn, "__name__", "step"))
-        )
+    def insert(self, name: str, index: int, fn, step_name: str | None = None) -> None:
+        """Insert a step (callable / Step / dict) at a position
+        (filterRegistry.js insert)."""
+        st = self._normalize_step(fn)
+        if step_name:
+            st.name = step_name
+        self._pipelines[name].insert(index, st)
 
     def remove_at(self, name: str, index: int) -> Step:
         """Remove and return the step at a position (filterRegistry.js removeAt)."""
@@ -94,15 +132,35 @@ class PipelineRegistry:
         """Plugin installer: called with the registry (filterRegistry.js use)."""
         plugin(self)
 
-    def apply(self, name: str, text: str, stop_on_error: bool = True) -> str:
+    def apply(self, name: str, text: str, *invoke_args, stop_on_error: bool = True) -> str:
+        """Fold the named pipeline over ``text``.
+
+        Each enabled step runs as ``fn(current, *step.args, *invoke_args)``
+        — step-specific args first, invoke-time common args after, exactly
+        the argument order of _runPipeline (filterRegistry.js:426-445).
+        A step returning None folds to "" (String(result ?? "")).
+        """
+        return self._run_steps(name, self._pipelines[name], text, invoke_args, stop_on_error)
+
+    def apply_list(self, steps, text: str, *invoke_args, stop_on_error: bool = True) -> str:
+        """Run an AD-HOC step list without registering it
+        (filterRegistry.js:304-314 applyList; hook name "<adhoc>")."""
+        return self._run_steps(
+            "<adhoc>", self._normalize_steps(steps), text, invoke_args, stop_on_error
+        )
+
+    def _run_steps(
+        self, name: str, steps: list[Step], text: str, invoke_args: tuple, stop_on_error: bool
+    ) -> str:
         current = "" if text is None else str(text)
         for h in self._before_hooks:
             h(name, current)
-        for st in self._pipelines[name]:
+        for st in steps:
             if not st.enabled:
                 continue
             try:
-                current = str(st.fn(current))
+                res = st.fn(current, *st.args, *invoke_args)
+                current = "" if res is None else str(res)
             except Exception as exc:
                 for h in self._error_hooks:
                     h(name, st.name, exc)
@@ -126,11 +184,17 @@ class PipelineRegistry:
     def compose(self, chain_names: list[str]) -> StrFilter:
         """Fuse multiple pipelines into one callable (the one-UDF-per-mode
         fusion described in SURVEY.md §4.2)."""
-        fns = [
-            st.fn
+        steps = [
+            st
             for nm in chain_names
             for st in self._pipelines[nm]
             if st.enabled
+        ]
+        # bind step args once at compose time; the common no-args case
+        # stays a bare function reference (no call overhead added)
+        fns = [
+            st.fn if not st.args else (lambda s, _f=st.fn, _a=st.args: _f(s, *_a))
+            for st in steps
         ]
 
         def fused(text: str) -> str:

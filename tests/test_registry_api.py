@@ -78,3 +78,93 @@ def test_use_plugin(reg):
 def test_unregister(reg):
     reg.unregister("p")
     assert reg.names() == []
+
+
+# ---------------------------------------------------------------------------
+# step args / invoke args / apply_list (filterRegistry.js:68-77,304-314,426-445)
+# ---------------------------------------------------------------------------
+
+
+def test_step_args_dict_form():
+    r = PipelineRegistry()
+    r.register("p", [{"fn": lambda s, n: s * n, "name": "rep", "args": [3]}, up])
+    assert r.apply("p", "ab") == "ABABAB"
+    st = r.get("p")[0]
+    assert st.name == "rep" and st.args == (3,)
+
+
+def test_invoke_args_appended_after_step_args():
+    seen = []
+
+    def probe(s, *rest):
+        seen.append(rest)
+        return s
+
+    r = PipelineRegistry()
+    r.register("p", [{"fn": probe, "args": ["a", "b"]}, probe])
+    r.apply("p", "x", "inv1", "inv2")
+    # step args first, invoke args after (filterRegistry.js:431-445)
+    assert seen == [("a", "b", "inv1", "inv2"), ("inv1", "inv2")]
+
+
+def test_apply_list_adhoc():
+    r = PipelineRegistry()
+    got = r.apply_list([{"fn": lambda s, suf: s + suf, "args": ["!"]}, up], "hi")
+    assert got == "HI!"
+    # invoke args reach every step
+    got = r.apply_list([lambda s, x: s + x], "a", "-z")
+    assert got == "a-z"
+    # disabled steps skipped, None folds to ""
+    assert r.apply_list([{"fn": up, "enabled": False}, lambda s: None], "hi") == ""
+    with pytest.raises(ValueError):
+        r.apply_list([], "hi")
+
+
+def test_parameterized_pipeline_matches_reference_js():
+    """Register a custom pipeline with a parameterized step (padHead count=2)
+    and compare against the reference FilterRegistry running the SAME ad-hoc
+    step list under node (applyList with step args)."""
+    import json
+    import subprocess
+
+    from patent_decision_document_converter_spark.functions import widths
+    from patent_decision_document_converter_spark.operators import mainstage
+
+    texts = [
+        "１．理由\nこれは本文です。\n\n２．むすび",
+        "  indented\nＡＢＣ123\n　full-width lead",
+        "",
+    ]
+    steps_js = [
+        {"fn": "padHead", "args": [2]},
+        {"fn": "fwNum"},
+        {"fn": "hwAlpha"},
+    ]
+    reqs = [{"mode": "custom", "text": t, "steps": steps_js} for t in texts]
+    expected = json.loads(
+        subprocess.run(
+            ["node", "tools/js_oracle.mjs"],
+            input=json.dumps(reqs).encode(),
+            capture_output=True,
+            check=True,
+        ).stdout
+    )
+
+    r = PipelineRegistry()
+    r.register(
+        "custom",
+        [
+            {"fn": mainstage.pad_head, "args": [2]},
+            widths.fw_num,
+            widths.hw_alpha,
+        ],
+    )
+    for t, want in zip(texts, expected):
+        assert r.apply("custom", t) == want
+        # ad-hoc form must agree with the registered form
+        assert (
+            r.apply_list(
+                [{"fn": mainstage.pad_head, "args": [2]}, widths.fw_num, widths.hw_alpha], t
+            )
+            == want
+        )

@@ -46,6 +46,29 @@ for (const item of req) {
     out.push(sandbox.JaTypoChecker.check(text));
     continue;
   }
+  if (mode === "custom") {
+    // ad-hoc parameterized pipeline via the reference's own FilterRegistry:
+    // steps = [{fn: "<name>", args?: [...], enabled?: bool}], fn resolved
+    // from the reference namespaces.
+    const NS = [
+      sandbox.textUtilsMain,
+      sandbox.Std,
+      sandbox.textUtilsInit,
+      sandbox.stripBlankLines,
+    ];
+    const resolve = (name) => {
+      for (const ns of NS) if (ns && typeof ns[name] === "function") return ns[name];
+      throw new Error(`unknown reference fn ${name}`);
+    };
+    const reg = new sandbox.FilterRegistry();
+    const steps = item.steps.map((st) => ({
+      fn: resolve(st.fn),
+      args: st.args || [],
+      enabled: st.enabled !== false,
+    }));
+    out.push(await reg.applyList(steps, text, item.invokeArgs || []));
+    continue;
+  }
   const normalized = text ? text.normalize("NFKC") : "";
   const chains = MODES[mode] || [mode]; // allow raw chain names too
   out.push(
