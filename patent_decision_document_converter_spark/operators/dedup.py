@@ -483,3 +483,94 @@ def simhash_near_dups(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# 5. duplicate clusters (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def _cc_canon(e: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: u < v, no loops, distinct."""
+    return (
+        e.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _cc_large_star(e: DataFrame) -> DataFrame:
+    """large-star(u): connect every neighbor v > u to min(Γ(u) ∪ {u})."""
+    adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = adj.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+    return _cc_canon(
+        adj.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _cc_small_star(e: DataFrame) -> DataFrame:
+    """small-star(u): connect u and its smaller neighbors to their min."""
+    adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    smaller = adj.filter(F.col("v") < F.col("u"))
+    smins = smaller.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        smaller.join(smins, "u")
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .union(smins.select(F.col("u").alias("a"), F.col("m").alias("b")))
+    )
+    return _cc_canon(out.select(F.col("a").alias("u"), F.col("b").alias("v")))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id_a, id_b) candidate-pair edge list → (doc_id, cluster_id) where
+    cluster_id = the component's minimum node id.
+
+    Training pipelines need duplicate CLUSTERS (one canonical doc per
+    group), not just pairs — this turns LSH/simhash candidate pairs into
+    that assignment.  Alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — no GraphFrames dependency; converges in O(log n) rounds
+    where naive min-label propagation needs O(diameter).  Each round is
+    two groupBy+join shuffles on the node key; lineage is truncated per
+    round with ``localCheckpoint`` so plans stay flat across iterations
+    (the classic iterative-DataFrame blowup).
+
+    Convergence is detected exactly (edge-set fixpoint via subtract-count;
+    at 10^12-doc scale swap in the (count, sum) checksum noted inline —
+    dedup components are near-cliques, so 2-4 rounds in practice).
+    Returns one row per node that appears in ``pairs``; singletons (docs
+    in no pair) are absent — callers left-join and coalesce to doc_id.
+    """
+    e = _cc_canon(
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        new_e = _cc_small_star(_cc_large_star(e)).localCheckpoint(eager=True)
+        # exact fixpoint test: same count and nothing in the symmetric
+        # difference.  At corpus scale replace with the cheap monotone
+        # checksum (count, sum(u), sum(v)) — the edge potential only
+        # decreases, so checksum equality == convergence w.h.p.
+        if new_e.count() == e.count() and new_e.subtract(e).count() == 0:
+            e = new_e
+            break
+        e = new_e
+
+    # converged star forest in canonical form: u = component min (root),
+    # v = leaf; each leaf appears exactly once, roots only on the u side
+    leaves = e.select(F.col("v").alias("doc_id"), F.col("u").alias("cluster_id"))
+    roots = (
+        e.select(F.col("u").alias("doc_id"))
+        .distinct()
+        .join(leaves.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
+    return leaves.union(roots)

@@ -557,8 +557,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(sigs)
 
 
-_MINHASH_SQL = f"""
-WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+# shared CTE chain: word-3-gram shingles -> 16 minhashes -> 4 banded hashes
+_MINHASH_CTES = f"""t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
 tok AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(1, len(toks) + 1)) AS pos FROM t),
 sh0 AS (SELECT doc_id,
                tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
@@ -569,10 +569,45 @@ mh AS (SELECT doc_id, seed,
        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) GROUP BY doc_id, seed),
 band AS (SELECT doc_id, seed // 4 AS band_id,
                 {_SQL_H60.format(x="string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)")} AS band_hash
-         FROM mh GROUP BY doc_id, seed // 4)
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM band a JOIN band b
-  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         FROM mh GROUP BY doc_id, seed // 4),
+lsh_pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM band a JOIN band b
+                ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)"""
+
+_MINHASH_SQL = f"""
+WITH {_MINHASH_CTES}
+SELECT id_a, id_b FROM lsh_pairs
+"""
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTER assignment: MinHash-LSH candidate pairs →
+    connected components (large-star/small-star) → every document labeled
+    with its component's min doc_id (singletons label themselves).  The
+    oracle computes the same components with a recursive reachability CTE
+    over the identical pair set."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs)
+    pairs = dedup.minhash_lsh_candidates(sigs)
+    cc = dedup.connected_components(pairs)
+    return docs.select("doc_id").join(cc, "doc_id", "left").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.coalesce("cluster_id", F.col("doc_id")).cast("long").alias("cluster_id"),
+    )
+
+
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+cc_edges AS (SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+             UNION SELECT id_b, id_a FROM lsh_pairs),
+reach(node, lbl) AS (
+    SELECT src, src FROM (SELECT DISTINCT src FROM cc_edges)
+    UNION
+    SELECT e.dst, r.lbl FROM reach r JOIN cc_edges e ON r.node = e.src
+),
+comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 """
 
 
@@ -1055,6 +1090,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # dedup suite
     "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _MINHASH_SQL),
+    "dedup_clusters": (dedup_clusters, _CLUSTERS_SQL),
     "dedup_shingle_overlap": (dedup_shingle_overlap, _SHINGLE_OVERLAP_SQL),
     "dedup_simhash": (dedup_simhash, _SIMHASH_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, _SIMHASH_PAIRS_SQL),

@@ -382,3 +382,30 @@ def test_ivf_probe_join_is_broadcast(vectors):
     df, rows = vectors
     plan = similarity.ivf_topk(df, rows[0][1], k=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4-5-6-7-8 (diameter 7 → multiple star rounds),
+    # clique {20,21,22}, pair {30,31}; 99 is a singleton (absent)
+    edges = [(i, i + 1) for i in range(1, 8)]
+    edges += [(20, 21), (21, 22), (20, 22), (30, 31)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    want = {i: 1 for i in range(1, 9)}
+    want.update({20: 20, 21: 20, 22: 20, 30: 30, 31: 30})
+    assert got == want
+
+
+def test_connected_components_reversed_and_dup_edges(spark):
+    # unordered inputs, duplicates, self-loops must not matter
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 5), (3, 3), (7, 5), (9, 7)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {3: 3, 5: 3, 7: 3, 9: 3}
