@@ -211,6 +211,45 @@ def ann_topk_lsh(
     return ranked.select(F.row_number().over(w).alias("rank"), F.col(id_col))
 
 
+def ann_topk_lsh_multiprobe(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 4,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH ANN: brute-force the query's bucket AND every
+    bucket within ``probe_hamming`` sign-flips of it.
+
+    A vector near a hyperplane lands on either side with ~equal
+    probability, so single-probe recall decays with n_planes; probing the
+    hamming-1 neighborhood recovers most of it at (n_planes+1)× the
+    candidate volume — still a vanishing fraction of the corpus (probing
+    5 of 2^n_planes buckets).  The probe set is computed driver-side
+    (tiny) and pushed into the scan as an IN filter — partition-prunable
+    when the vector table is written bucketed by ``bucket``.
+    """
+    from itertools import combinations
+
+    buckets = rp_lsh_buckets(df, len(query_vec), n_planes, id_col, vec_col)
+    qb = rp_bucket_of(query_vec, n_planes)
+    probes = {qb}
+    if probe_hamming >= 1:
+        probes |= {qb ^ (1 << p) for p in range(n_planes)}
+    if probe_hamming >= 2:
+        probes |= {qb ^ (1 << a) ^ (1 << b) for a, b in combinations(range(n_planes), 2)}
+    cands = buckets.filter(F.col("bucket").isin(sorted(probes)))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cands.select(F.col(id_col), cosine(F.col(vec_col), q).alias("sim"))
+    from pyspark.sql import Window
+
+    ranked = scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("sim"), F.asc(id_col))
+    return ranked.select(F.row_number().over(w).alias("rank"), F.col(id_col))
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float,

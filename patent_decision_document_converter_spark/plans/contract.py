@@ -799,6 +799,35 @@ FROM s ORDER BY sim DESC, vec_id LIMIT 10
 """
 
 
+def ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _query_vec(spark, sf_dir, 0)
+    out = similarity.ann_topk_lsh_multiprobe(
+        _t(spark, sf_dir, "embeddings"), q, k=10, n_planes=4, probe_hamming=1
+    )
+    return out.select(F.col("rank").cast("long").alias("rank"), "vec_id")
+
+
+# probe set = query bucket ⊕ {0, 1, 2, 4, 8}: itself + every hamming-1
+# neighbor of the 4-plane signature
+_ANN_LSH_MP_SQL = f"""
+WITH {_RP_SQL},
+qb AS (SELECT bucket FROM bucketed WHERE vec_id = 0),
+probes AS (SELECT DISTINCT xor((SELECT bucket FROM qb), CAST(m AS BIGINT)) AS pb
+           FROM (SELECT unnest([0, 1, 2, 4, 8]) AS m)),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+qn AS (SELECT qv, sqrt(list_sum(list_transform(qv, x -> x * x))) AS qnrm FROM q),
+s AS (SELECT e.vec_id,
+             list_sum(list_transform(range(1, 65), i -> v[i] * qv[i]))
+               / (sqrt(list_sum(list_transform(v, x -> x * x))) * qnrm) AS sim
+      FROM e
+      JOIN bucketed ON e.vec_id = bucketed.vec_id
+      CROSS JOIN qn
+      WHERE bucketed.bucket IN (SELECT pb FROM probes))
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank, vec_id
+FROM s ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale path of embedding near-dup: the quadratic verify runs
     per LSH bucket only."""
@@ -1099,6 +1128,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_topk_bruteforce": (ann_topk_bruteforce, _ANN_BF_SQL),
     "ann_topk_ivf": (ann_topk_ivf, _ANN_IVF_SQL),
     "ann_topk_lsh": (ann_topk_lsh, _ANN_LSH_SQL),
+    "ann_topk_lsh_multiprobe": (ann_topk_lsh_multiprobe, _ANN_LSH_MP_SQL),
     "dedup_embedding_lsh": (dedup_embedding_lsh, _EMB_LSH_SQL),
     # text analysis
     "text_token_stats": (text_token_stats, _TOKEN_STATS_SQL),

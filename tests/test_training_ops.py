@@ -225,6 +225,27 @@ def test_rp_lsh_buckets_and_ann(vectors):
     assert all(b2[i] == qb for i in got)
 
 
+def test_lsh_multiprobe_recall_dominates_single_probe(vectors):
+    df, rows = vectors
+    q = rows[0][1]
+    brute = {r["vec_id"] for r in similarity.cosine_topk(df, q, k=5).collect()}
+    single = {r["vec_id"] for r in similarity.ann_topk_lsh(df, q, k=5, n_planes=4).collect()}
+    multi = {
+        r["vec_id"]
+        for r in similarity.ann_topk_lsh_multiprobe(df, q, k=5, n_planes=4, probe_hamming=1).collect()
+    }
+    # candidate set only grows with probes, so recall vs brute force is monotone
+    assert len(multi & brute) >= len(single & brute)
+    assert 0 in multi  # query's own vector always survives
+    # hamming-2 probing grows candidates further and is still a strict subset
+    # of the corpus (11 of 16 buckets for 4 planes)
+    multi2 = {
+        r["vec_id"]
+        for r in similarity.ann_topk_lsh_multiprobe(df, q, k=5, n_planes=4, probe_hamming=2).collect()
+    }
+    assert len(multi2 & brute) >= len(multi & brute)
+
+
 def test_cosine_pairs_threshold_and_bucket(vectors):
     df, rows = vectors
     pairs = {(r["id_a"], r["id_b"]) for r in similarity.cosine_pairs(df, 0.9).collect()}
