@@ -292,3 +292,143 @@ def cosine_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF with learned cells: deterministic integer-quantized k-means
+# ---------------------------------------------------------------------------
+
+
+def _quantize(vec_col: Column, scale: int = 1000) -> Column:
+    """array<float> -> array<bigint> at fixed point.  All subsequent
+    k-means arithmetic is integer, hence associative — results are
+    bit-identical regardless of partitioning / reduction order, which is
+    what lets a SQL oracle replay the exact same training run."""
+    return F.transform(vec_col, lambda x: F.round(x.cast("double") * scale).cast("long"))
+
+
+def _sq_dist_to(lit_centroid: list[int]) -> "callable":
+    c = F.array(*[F.lit(int(x)) for x in lit_centroid])
+
+    def d(qv: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(qv, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    return d
+
+
+def kmeans_fit_assign(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> tuple[DataFrame, list[list[int]]]:
+    """Lloyd's k-means over integer-quantized vectors; returns
+    (df + ``cell`` column, final centroids as integer lists).
+
+    Deterministic BY CONSTRUCTION — the properties a k-means needs to be
+    oracle-checkable and cluster-reproducible:
+
+    * init: centroids = the quantized vectors of the ``k`` smallest ids
+      (no RNG);
+    * assignment: integer argmin of squared L2, ties to the lower cell id
+      (via ``array_min`` over (dist, cid) structs — struct ordering does
+      the tie-break);
+    * update: element-wise ``floor(sum/count)`` — integer sums are
+      order-independent, and a single double division of integers < 2^53
+      is exact, so no reduction-order drift ever;
+    * empty cells keep their previous centroid.
+
+    Centroids live on the driver between iterations (k × dim ints — model
+    parameters, not data).  At 10^6 cells you'd keep the centroid table
+    distributed, broadcast-join the assignment, and train on a sample —
+    same plan shape per iteration (pyspark.ml.KMeans does exactly this);
+    this implementation trades that for bit-exact replayability.
+    """
+    q = df.select(F.col(id_col), _quantize(F.col(vec_col), scale).alias("qv"))
+    cents = [
+        [int(x) for x in r["qv"]]
+        for r in q.filter(F.col(id_col) < k).orderBy(id_col).collect()
+    ]
+    if len(cents) < k:
+        raise ValueError(f"need at least k={k} rows with {id_col} < k")
+
+    def assign(frame: DataFrame) -> DataFrame:
+        pairs = F.array(
+            *[
+                F.struct(_sq_dist_to(c)(F.col("qv")).alias("d"), F.lit(i).alias("cid"))
+                for i, c in enumerate(cents)
+            ]
+        )
+        return frame.withColumn("cell", F.array_min(pairs)["cid"].cast("int"))
+
+    for _ in range(iters):
+        assigned = assign(q)
+        # element-wise integer mean per cell: posexplode -> (cell, pos) sum/count
+        per_dim = (
+            assigned.select("cell", F.posexplode("qv").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.floor(F.sum("x") / F.count("*")).cast("long").alias("m"))
+        )
+        new_rows = (
+            per_dim.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("c")
+            )
+            .collect()
+        )
+        new_cents = list(cents)  # empty cells keep previous centroid
+        for r in new_rows:
+            new_cents[r["cell"]] = [int(x) for x in r["c"]]
+        cents = new_cents
+
+    out = assign(df.select("*", _quantize(F.col(vec_col), scale).alias("qv"))).drop("qv")
+    return out, cents
+
+
+def ann_topk_ivf_kmeans(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF ANN over LEARNED (k-means) cells: train deterministic integer
+    k-means, probe the ``n_probe`` cells whose centroids are nearest the
+    query (integer L2, ties to lower cell id), brute-force cosine only
+    inside those cells.  Same probe/search shape as :func:`ivf_topk` but
+    with data-driven cells instead of the label stand-in."""
+    import math
+
+    assigned, cents = kmeans_fit_assign(df, n_cells, iters, id_col, vec_col, scale)
+    # round half away from zero — Spark's round()/DuckDB's round(), NOT
+    # Python round()'s banker's rounding
+    qq = [
+        int(math.floor(float(x) * scale + 0.5))
+        if x >= 0
+        else int(math.ceil(float(x) * scale - 0.5))
+        for x in query_vec
+    ]
+    dists = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(qq, c)), cid) for cid, c in enumerate(cents)
+    )
+    probe = [cid for _, cid in dists[:n_probe]]
+    cands = assigned.filter(F.col("cell").isin(probe))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cands.select(F.col(id_col), cosine(F.col(vec_col), q).alias("sim"))
+    from pyspark.sql import Window
+
+    ranked = scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("sim"), F.asc(id_col))
+    return ranked.select(F.row_number().over(w).alias("rank"), F.col(id_col))

@@ -828,6 +828,73 @@ FROM s ORDER BY sim DESC, vec_id LIMIT 10
 """
 
 
+def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _query_vec(spark, sf_dir, 0)
+    out = similarity.ann_topk_ivf_kmeans(
+        _t(spark, sf_dir, "embeddings"), q, k=10, n_cells=8, n_probe=2, iters=2
+    )
+    return out.select(F.col("rank").cast("long").alias("rank"), "vec_id")
+
+
+def _ivf_kmeans_sql(k: int = 8, iters: int = 2, n_probe: int = 2, dim: int = 64) -> str:
+    """Generate the unrolled-Lloyd oracle: because the engine's k-means is
+    integer-quantized (order-independent sums, exact floor-division means),
+    DuckDB can replay the IDENTICAL training run — init on vec_id < k,
+    `iters` assign+update rounds, empty cells keeping their centroid —
+    and must land on the same cells, probes, and final top-k."""
+    rng = f"range(1, {dim + 1})"
+    ctes = [
+        f"q0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, qv AS c FROM q0 WHERE vec_id < {k})",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        ctes += [
+            f"""d{it} AS (SELECT q.vec_id, c.cid,
+       list_sum(list_transform({rng}, i -> (q.qv[i] - c.c[i]) * (q.qv[i] - c.c[i]))) AS d
+       FROM q0 q CROSS JOIN {prev} c)""",
+            f"""a{it} AS (SELECT vec_id, cid AS cell FROM
+       (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d{it})
+       WHERE rn = 1)""",
+            f"""m{it} AS (SELECT cell, pos, CAST(FLOOR(SUM(x) / COUNT(*)) AS BIGINT) AS m FROM
+       (SELECT a.cell, unnest(q.qv) AS x, unnest({rng}) AS pos
+        FROM a{it} a JOIN q0 q USING (vec_id))
+       GROUP BY cell, pos)""",
+            f"""g{it} AS (SELECT cell AS cid, list(m ORDER BY pos) AS c FROM m{it} GROUP BY cell)""",
+            f"""c{it} AS (SELECT p.cid, COALESCE(g.c, p.c) AS c FROM {prev} p LEFT JOIN g{it} g USING (cid))""",
+        ]
+        prev = f"c{it}"
+    ctes += [
+        # final assignment with the trained centroids
+        f"""df_ AS (SELECT q.vec_id, c.cid,
+       list_sum(list_transform({rng}, i -> (q.qv[i] - c.c[i]) * (q.qv[i] - c.c[i]))) AS d
+       FROM q0 q CROSS JOIN {prev} c)""",
+        """af AS (SELECT vec_id, cid AS cell FROM
+       (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM df_)
+       WHERE rn = 1)""",
+        # probe the n_probe cells nearest the query (integer L2, ties low cid)
+        f"""probes AS (SELECT c.cid FROM {prev} c CROSS JOIN (SELECT qv FROM q0 WHERE vec_id = 0) q
+       ORDER BY list_sum(list_transform({rng}, i -> (q.qv[i] - c.c[i]) * (q.qv[i] - c.c[i]))), c.cid
+       LIMIT {n_probe})""",
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        "q AS (SELECT v AS qv2 FROM e WHERE vec_id = 0)",
+        "qn AS (SELECT qv2, sqrt(list_sum(list_transform(qv2, x -> x * x))) AS qnrm FROM q)",
+        f"""s AS (SELECT e.vec_id,
+       list_sum(list_transform({rng}, i -> v[i] * qv2[i]))
+         / (sqrt(list_sum(list_transform(v, x -> x * x))) * qnrm) AS sim
+       FROM e JOIN af ON e.vec_id = af.vec_id CROSS JOIN qn
+       WHERE af.cell IN (SELECT cid FROM probes))""",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank, vec_id"
+        + "\nFROM s ORDER BY sim DESC, vec_id LIMIT 10"
+    )
+
+
+_ANN_IVF_KMEANS_SQL = _ivf_kmeans_sql()
+
+
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale path of embedding near-dup: the quadratic verify runs
     per LSH bucket only."""
@@ -1127,6 +1194,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # similarity search
     "ann_topk_bruteforce": (ann_topk_bruteforce, _ANN_BF_SQL),
     "ann_topk_ivf": (ann_topk_ivf, _ANN_IVF_SQL),
+    "ann_topk_ivf_kmeans": (ann_topk_ivf_kmeans, _ANN_IVF_KMEANS_SQL),
     "ann_topk_lsh": (ann_topk_lsh, _ANN_LSH_SQL),
     "ann_topk_lsh_multiprobe": (ann_topk_lsh_multiprobe, _ANN_LSH_MP_SQL),
     "dedup_embedding_lsh": (dedup_embedding_lsh, _EMB_LSH_SQL),

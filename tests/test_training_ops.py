@@ -430,3 +430,29 @@ def test_connected_components_reversed_and_dup_edges(spark):
         for r in dedup.connected_components(pairs).collect()
     }
     assert got == {3: 3, 5: 3, 7: 3, 9: 3}
+
+
+def test_kmeans_ivf_deterministic_and_sane(vectors):
+    df, rows = vectors
+    assigned1, cents1 = similarity.kmeans_fit_assign(df, k=3, iters=2)
+    assigned2, cents2 = similarity.kmeans_fit_assign(df, k=3, iters=2)
+    # bit-exact reproducibility (integer arithmetic, no RNG)
+    assert cents1 == cents2
+    a1 = {r["vec_id"]: r["cell"] for r in assigned1.collect()}
+    a2 = {r["vec_id"]: r["cell"] for r in assigned2.collect()}
+    assert a1 == a2
+    # same-label vectors are tight clusters -> k-means must not split them
+    labels = {r[0]: r[2] for r in rows}
+    by_label = {}
+    for vid, cell in a1.items():
+        by_label.setdefault(labels[vid], set()).add(cell)
+    assert all(len(cells) == 1 for cells in by_label.values())
+
+    q = rows[0][1]
+    got = [
+        r["vec_id"]
+        for r in similarity.ann_topk_ivf_kmeans(df, q, k=5, n_cells=3, n_probe=1)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got and got[0] == 0  # query's own vector leads its probed cell
