@@ -1058,6 +1058,73 @@ FROM flag GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# multimodal plumbing (operators.multimodal)
+# ---------------------------------------------------------------------------
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing under a hard oracle: synthesize one
+    media span per document (deterministic ref/kind), derive the fake
+    binary payload (unhex(md5||md5), JVM-side), run the Arrow-batched
+    decode_media (16-bin byte histogram over the payload bytes), and emit
+    integer bin counts.  The DuckDB twin recomputes the histogram from
+    the md5 HEX STRING — the high nibble of payload byte i IS hex char
+    2i-1 — so the whole mapInPandas path gets a rows+schema+hash gate
+    even though the real codec stays stubbed (no PIL/ffmpeg here)."""
+    from ..operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    spans_df = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.when(F.col("doc_id") % 2 == 0, F.lit("figure"))
+                .otherwise(F.lit("table"))
+                .alias("kind"),
+                F.lit("").alias("text"),
+                F.concat(F.lit("m:"), F.col("doc_id")).alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    media = multimodal.synth_media_table(spans_df)
+    feats = multimodal.decode_media(media, impl="fake")
+    # features[b] = count_b / n_bytes with n_bytes = 32 (a power of two),
+    # so count recovery via round(f * n_bytes) is exact
+    counts = F.transform(
+        F.col("features"), lambda f: F.round(f * F.col("n_bytes")).cast("long")
+    )
+    return feats.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "media_ref",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.concat_ws(",", F.transform(counts, lambda c: c.cast("string"))).alias("hist_csv"),
+    )
+
+
+_MEDIA_FEATURES_SQL = """
+WITH m AS (SELECT doc_id,
+                  'm:' || doc_id AS media_ref,
+                  CASE WHEN doc_id % 2 = 0 THEN 'figure' ELSE 'table' END AS kind,
+                  md5('m:' || doc_id) || md5('m:' || doc_id || ':1') AS hexstr
+           FROM documents),
+nib AS (SELECT doc_id, media_ref, kind,
+               substr(hexstr, 2 * i - 1, 1) AS c
+        FROM m CROSS JOIN (SELECT unnest(range(1, 33)) AS i)),
+cnt AS (SELECT doc_id, media_ref, kind, b,
+               SUM(CASE WHEN c = substr('0123456789abcdef', CAST(b AS INTEGER) + 1, 1)
+                        THEN 1 ELSE 0 END) AS h
+        FROM nib CROSS JOIN (SELECT unnest(range(16)) AS b)
+        GROUP BY doc_id, media_ref, kind, b)
+SELECT doc_id, media_ref, kind,
+       CAST(32 AS BIGINT) AS n_bytes,
+       string_agg(CAST(h AS VARCHAR), ',' ORDER BY b) AS hist_csv
+FROM cnt GROUP BY doc_id, media_ref, kind
+"""
+
+
+# ---------------------------------------------------------------------------
 # conversion engine — oracle = REFERENCE-computed expectations
 #
 # The conversion itself is per-document state machines + a trie (not
@@ -1204,6 +1271,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_quality": (text_quality, _QUALITY_SQL),
     "text_winnow_fp": (text_winnow_fp, _WINNOW_SQL),
     "text_doubled_tokens": (text_doubled_tokens, _DOUBLED_SQL),
+    # multimodal plumbing
+    "media_features": (media_features, _MEDIA_FEATURES_SQL),
     # conversion engine — oracle = frozen reference-JS expectations
     "convert_office_action": (convert_office_action, _CONVERT_OA_SQL),
     "convert_html_spans": (convert_html_spans, _CONVERT_HTML_SQL),
