@@ -326,5 +326,15 @@ def _replace_chunk(chunk: str) -> str:
 
 
 def apply_flexible_map(s: str) -> str:
-    """textUtilsConvertForCau.js:576-1280."""
+    """textUtilsConvertForCau.js:576-1280.
+
+    Applied twice per officeAction document (start of 'main', end of
+    'convertEnd' — reference-faithful order).  The second pass cannot be
+    doc-level-memoized: pad_head and the law-number cascades change the
+    text in between (measured hit rate 0.0 on both the EN synthetic and
+    JP fixture corpora).  The mitigation that DOES hold is the chunk-level
+    lru below — JP text yields short, highly-repetitive ASCII chunks that
+    hit across passes and across documents; all-ASCII documents degenerate
+    to one whole-doc chunk and pay the full linear rescan (~35% of
+    conversion cost on the synthetic corpus, see PLANS.md)."""
     return _CHUNK_RE.sub(lambda m: _replace_chunk(m.group(0)), str(s))

@@ -383,7 +383,10 @@ _ANGLE_TABLE = str.maketrans({"<": "＜", ">": "＞"})
 
 
 def convert_for_other(text: str) -> str:
-    """convertForOther (textUtilsConvertForCau.js:519-565)."""
+    """convertForOther (textUtilsConvertForCau.js:519-565).  Runs 2x in
+    officeAction (reference-faithful); measured at ~1% of conversion cost,
+    so no memo layer is warranted (doc-level hit rate is 0 — the text
+    changes between applications)."""
     lines = split_lines(lc_kenshu_saki_url(text))
     out = []
     for line in lines:
