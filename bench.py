@@ -54,6 +54,11 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
+    "ann_topk_ivf_kmeans",
+    "ann_topk_lsh",
+    "ann_topk_lsh_multiprobe",
+    "dedup_clusters",
+    "media_features",
     "text_token_stats",
     "text_quality",
     "text_winnow_fp",
@@ -111,6 +116,38 @@ def bench_conversion(spark: SparkSession, cpus: int, n_docs: int = N_BENCH_DOCS)
     }
 
 
+def run_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    from patent_decision_document_converter_spark.functions.cachereg import release_cached
+
+    qtimes: dict[str, float] = {}
+    qs = contract.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        qtimes[name] = round(time.time() - t0, 3)
+        release_cached()  # drop operator-persisted intermediates between queries
+
+    t0 = time.time()
+    conv = contract.convert_office_action(spark, sf_dir)
+    conv.count()
+    qtimes["convert_office_action"] = round(time.time() - t0, 3)
+    return qtimes
+
+
+def ann_recall(spark: SparkSession, sf_dir: str, k: int = 10) -> dict[str, float]:
+    """recall@k of each ANN variant vs exact brute force (same query vec).
+    Expected ordering: multiprobe >= single-probe LSH; kmeans-IVF with
+    n_probe=2 of 8 cells trades recall for probing 1/4 of the corpus."""
+    qs = contract.queries()
+    brute = {r["vec_id"] for r in qs["ann_topk_bruteforce"](spark, sf_dir).collect()}
+    out = {}
+    for name in ("ann_topk_lsh", "ann_topk_lsh_multiprobe", "ann_topk_ivf", "ann_topk_ivf_kmeans"):
+        got = {r["vec_id"] for r in qs[name](spark, sf_dir).collect()}
+        out[name.removeprefix("ann_topk_")] = round(len(got & brute) / len(brute), 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -124,21 +161,21 @@ def main() -> None:
     for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
-    qtimes: dict[str, float] = {}
-    qs = contract.queries()
-    from patent_decision_document_converter_spark.functions.cachereg import release_cached
+    qtimes = run_queries(spark, sf_dir)
 
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.collect()
-        qtimes[name] = round(time.time() - t0, 3)
-        release_cached()  # drop operator-persisted intermediates between queries
+    # secondary scale factor: per-query scaling slope makes round-over-
+    # round regressions attributable (sec_primary / sec_secondary vs the
+    # 10x data ratio; slope << 10 == fixed overhead still dominates)
+    sf2_dir = os.environ.get("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
+    sf2 = float(sf2_dir.rstrip("/").rsplit("sf", 1)[-1])
+    qtimes2 = run_queries(spark, sf2_dir) if os.path.isdir(sf2_dir) else {}
+    slope = {
+        name: round(qtimes[name] / qtimes2[name], 2)
+        for name in qtimes
+        if qtimes2.get(name)
+    }
 
-    t0 = time.time()
-    conv = contract.convert_office_action(spark, sf_dir)
-    conv.count()
-    qtimes["convert_office_action"] = round(time.time() - t0, 3)
+    recall = ann_recall(spark, sf_dir)
 
     conversion = bench_conversion(spark, cpus)
 
@@ -153,6 +190,10 @@ def main() -> None:
                 "sf": sf,
                 "cpus": cpus,
                 "conversion": conversion,
+                "sf_secondary": sf2,
+                "queries_secondary": qtimes2,
+                "scaling_slope_10x": slope,
+                "ann_recall_at_10": recall,
             }
         )
     )
