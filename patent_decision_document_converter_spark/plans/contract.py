@@ -557,16 +557,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(sigs)
 
 
-# shared CTE chain: word-3-gram shingles -> 16 minhashes -> 4 banded hashes
+# shared CTE chain: word-3-gram shingles -> ONE md5 per shingle ->
+# 16 affine minhashes ((a*h + b) mod P, same md5-derived family as
+# operators.dedup.minhash_params) -> 4 banded hashes
+_MINHASH_SEEDS_SQL = "(VALUES (0, 262007653, 675659751126646819), (1, 725540011, 391651163999558906), (2, 151427373, 1134948955545698207), (3, 478958467, 409809631914755837), (4, 811337817, 951947694097183769), (5, 301584717, 567652170065950082), (6, 901746889, 253259972800032105), (7, 582339229, 1002826863451323296), (8, 986584633, 683169711618802435), (9, 37322075, 464582379203390822), (10, 719917419, 431858097164168946), (11, 298684551, 809596808533489825), (12, 523596309, 569821950632348952), (13, 97553829, 353529617069230138), (14, 887753713, 509136473091362477), (15, 1016340635, 536289912176200855)) s(seed, a, b)"
+
 _MINHASH_CTES = f"""t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
 tok AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(1, len(toks) + 1)) AS pos FROM t),
 sh0 AS (SELECT doc_id,
                tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
         FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
 sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+hsh AS (SELECT doc_id, {_SQL_H32.format(x="shingle")} AS h FROM sh),
 mh AS (SELECT doc_id, seed,
-              MIN({_SQL_H60.format(x="CAST(seed AS VARCHAR) || ':' || shingle")}) AS mh
-       FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) GROUP BY doc_id, seed),
+              MIN((s.a * h + s.b) % 2305843009213693951) AS mh
+       FROM hsh CROSS JOIN {_MINHASH_SEEDS_SQL} GROUP BY doc_id, seed),
 band AS (SELECT doc_id, seed // 4 AS band_id,
                 {_SQL_H60.format(x="string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)")} AS band_hash
          FROM mh GROUP BY doc_id, seed // 4),

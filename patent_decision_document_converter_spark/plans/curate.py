@@ -113,7 +113,13 @@ def curate_corpus(
         threshold_tenths=jaccard_threshold_tenths,
         candidates=cands,
     )
-    drops = near.select(F.col("id_b").alias("doc_id")).distinct()
+    # cluster-aware canonical selection: pairwise id_b-dropping mishandles
+    # transitive chains (A~B, B~C but A!~C would drop B and C, losing a
+    # distinct doc C and keeping none of its cluster if ids interleave);
+    # connected components keep exactly one doc — the min id — per
+    # near-dup cluster
+    clusters = dedup.connected_components(near)
+    drops = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     survivors = text_e.join(drops, "doc_id", "left_anti").select("doc_id")
     metrics["after_near_dedup"] = survivors.count()
 

@@ -48,15 +48,24 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-INPUT_DIR = "/tmp/bench_scaling_docs60k"
-N_DOCS = 60000
 SEED = 42
-N_PARTITIONS = 64
-PAIRS = [(2, 8), (8, 32)]
+# Per-pair corpus sizing: each measured run must be long enough that JVM
+# job-scheduling + python-worker overhead (~1-2 s) is noise, i.e. >= ~20 s
+# at the FASTER level of the pair.  Round 2's conversion speedup made the
+# old shared 60k corpus finish in <5 s at local[32], which turned the
+# secondary pair into an overhead measurement.
+PAIRS = [
+    {"n": 2, "n4": 8, "n_docs": 60_000, "n_partitions": 64},
+    {"n": 8, "n4": 32, "n_docs": 240_000, "n_partitions": 128},
+]
 
 
-def ensure_input() -> None:
-    if os.path.exists(os.path.join(INPUT_DIR, "_SUCCESS")):
+def input_dir(n_docs: int) -> str:
+    return f"/tmp/bench_scaling_docs{n_docs // 1000}k"
+
+
+def ensure_input(n_docs: int, n_partitions: int) -> None:
+    if os.path.exists(os.path.join(input_dir(n_docs), "_SUCCESS")):
         return
     from pyspark.sql import SparkSession
 
@@ -71,14 +80,14 @@ def ensure_input() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    rows = make_documents_rows(N_DOCS, seed=SEED, mega_frac=0.0)
-    spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA).repartition(N_PARTITIONS).write.mode(
+    rows = make_documents_rows(n_docs, seed=SEED, mega_frac=0.0)
+    spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA).repartition(n_partitions).write.mode(
         "overwrite"
-    ).parquet(INPUT_DIR)
+    ).parquet(input_dir(n_docs))
     spark.stop()
 
 
-def run_level(cpus: int) -> dict:
+def run_level(cpus: int, in_dir: str, n_partitions: int) -> dict:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -86,7 +95,7 @@ def run_level(cpus: int) -> dict:
 
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(N_PARTITIONS))
+        .config("spark.sql.shuffle.partitions", str(n_partitions))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.driver.memory", "24g")
         .config("spark.ui.enabled", "false")
@@ -94,7 +103,7 @@ def run_level(cpus: int) -> dict:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    df = spark.read.parquet(INPUT_DIR)
+    df = spark.read.parquet(in_dir)
     n_in = df.count()  # warm: JVM, file index, parquet footers
 
     # Steady-state measurement: on a long-lived cluster the Python workers
@@ -133,7 +142,7 @@ def _mp_work(n: int) -> int:
 def hardware_envelope() -> dict:
     """Best-case host scaling: embarrassingly parallel python, no engine."""
     rates = {}
-    for procs in sorted({c for pair in PAIRS for c in pair}):
+    for procs in sorted({c for pair in PAIRS for c in (pair["n"], pair["n4"])}):
         with mp.Pool(procs) as p:
             p.map(_mp_work, [1000] * procs)  # warm pool
             t0 = time.time()
@@ -144,35 +153,43 @@ def hardware_envelope() -> dict:
 
 
 def main() -> None:
-    if len(sys.argv) > 2 and sys.argv[1] == "--child":
-        print(json.dumps(run_level(int(sys.argv[2]))))
+    if len(sys.argv) > 4 and sys.argv[1] == "--child":
+        print(json.dumps(run_level(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]))))
         return
 
-    ensure_input()
+    for pair in PAIRS:
+        ensure_input(pair["n_docs"], pair["n_partitions"])
     env = hardware_envelope()
     print(f"hardware envelope (md5 hashes/s): {env}", flush=True)
 
     # The sandbox host has time-varying capacity (bursty throttling was
     # measured: identical runs 2x apart in wall time minutes apart) — run
     # every level twice in alternating order and keep each level's best.
-    levels = sorted({c for pair in PAIRS for c in pair})
-    results: dict[int, dict] = {}
-    for cpus in levels + levels[::-1]:
+    results: dict[tuple[int, int], dict] = {}
+    runs = [
+        (c, pair["n_docs"], pair["n_partitions"])
+        for pair in PAIRS
+        for c in (pair["n"], pair["n4"])
+    ]
+    for cpus, n_docs, n_parts in runs + runs[::-1]:
+        key = (cpus, n_docs)
         p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", str(cpus)],
+            [sys.executable, os.path.abspath(__file__), "--child", str(cpus),
+             input_dir(n_docs), str(n_parts)],
             capture_output=True,
             text=True,
             check=True,
             cwd=REPO,
         )
         r = json.loads(p.stdout.strip().splitlines()[-1])
-        if cpus not in results or r["sec"] < results[cpus]["sec"]:
-            results[cpus] = r
-        print(f"local[{cpus}]: {r}", flush=True)
+        if key not in results or r["sec"] < results[key]["sec"]:
+            results[key] = r
+        print(f"local[{cpus}] x {n_docs // 1000}k docs: {r}", flush=True)
 
     pairs_out = []
-    for n, n4 in PAIRS:
-        ratio = results[n4]["docs_per_sec"] / results[n]["docs_per_sec"]
+    for pair in PAIRS:
+        n, n4, nd = pair["n"], pair["n4"], pair["n_docs"]
+        ratio = results[(n4, nd)]["docs_per_sec"] / results[(n, nd)]["docs_per_sec"]
         eff = ratio / (n4 / n)
         hw_ratio = env[n4] / env[n]
         hw_eff = hw_ratio / (n4 / n)
@@ -180,6 +197,7 @@ def main() -> None:
             {
                 "n": n,
                 "n4": n4,
+                "n_docs": nd,
                 "throughput_ratio": round(ratio, 3),
                 "scaling_efficiency": round(eff, 3),
                 "hardware_envelope_efficiency": round(hw_eff, 3),
@@ -188,9 +206,8 @@ def main() -> None:
         )
 
     report = {
-        "input": {"n_docs": N_DOCS, "seed": SEED, "mega_frac": 0.0, "path": INPUT_DIR,
-                  "n_partitions": N_PARTITIONS},
-        "levels": results,
+        "input": {"seed": SEED, "mega_frac": 0.0, "pairs": PAIRS},
+        "levels": {f"{c}cpus_{nd // 1000}k": r for (c, nd), r in results.items()},
         "hardware_envelope_hashes_per_sec": env,
         "pairs": pairs_out,
         "primary": pairs_out[0],
