@@ -514,8 +514,11 @@ def simhash_near_dups(
             F.col(f"b.{id_col}").alias("id_b"),
             F.bit_count(F.col("a.fingerprint").bitwiseXOR(F.col("b.fingerprint"))).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct: the hamming test is a per-row expression,
+        # the distinct is a shuffle — dropping far pairs first shrinks the
+        # exchange to the result size
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

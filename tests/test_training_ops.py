@@ -456,3 +456,29 @@ def test_kmeans_ivf_deterministic_and_sane(vectors):
         .collect()
     ]
     assert got and got[0] == 0  # query's own vector leads its probed cell
+
+
+def test_multiprobe_probe_set_is_scan_filter(vectors):
+    """Multi-probe candidates come from ONE scan with an IN filter — no
+    shuffle, no join against a probe table."""
+    df, rows = vectors
+    plan = (
+        similarity.ann_topk_lsh_multiprobe(df, rows[0][1], k=3, n_planes=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan  # probe set is a pushed literal IN list
+    assert "Scan" in plan and plan.count("Scan ExistingRDD") + plan.count("Scan parquet") == 1
+
+
+def test_media_features_scan_reads_only_doc_id(spark):
+    from patent_decision_document_converter_spark.plans.contract import media_features
+
+    qe = media_features(spark, "/root/testdata/sf0.001")._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "Exchange" not in plan  # decode is partition-preserving
+    # the parquet scan must be pruned to the single needed column
+    assert "ReadSchema: struct<doc_id:bigint>" in qe.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
