@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "ann_topk_lsh_multiprobe",
     "dedup_clusters",
     "media_features",
+    "corpus_stratified_sample",
+    "corpus_redact_pii",
+    "corpus_tfidf_top_terms",
     "text_token_stats",
     "text_quality",
     "text_winnow_fp",

@@ -1,0 +1,125 @@
+"""Corpus-construction operators (training-mix layer).
+
+Training pipelines over an extraction corpus need more than dedup:
+building a training MIX (per-language / per-source quotas), scrubbing
+PII before anything ships, and per-document salience terms for curriculum
+or retrieval mixes.  All pure column expressions (JVM, codegen) with
+DuckDB oracles in ``plans/contract.py``.
+
+Determinism doctrine (same as dedup/similarity): every sampling decision
+is a hash of the ROW, never an RNG draw — so results are identical under
+any partitioning, resumable re-runs keep their sample, and the oracle can
+recompute membership exactly.  ``df.sample``/``sampleBy`` are
+partition-order-dependent and would break all three properties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+
+
+def sample_key(id_col: Column, salt: str = "sample") -> Column:
+    """Uniform [0, 1000) bucket from a row id — pmod(md5_long(id:salt), 1000).
+    Stable across runs/partitionings; change ``salt`` to draw an
+    independent sample."""
+    return F.pmod(md5_long(F.concat(id_col.cast("string"), F.lit(":" + salt))), F.lit(1000))
+
+
+def stratified_sample(
+    df: DataFrame,
+    quotas_permille: dict[str, int],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum subsample: keep a row iff its hash bucket
+    < the stratum's permille quota.  Strata absent from ``quotas_permille``
+    are dropped (quota 0).
+
+    The workhorse of training-mix construction (e.g. downsample en to
+    300‰, keep all ja): one scan, zero shuffle, reproducible membership —
+    a resumed or re-partitioned run keeps the identical sample, unlike
+    ``df.sampleBy`` whose draw depends on partition iteration order.
+    """
+    quota = F.lit(0)
+    for stratum, permille in sorted(quotas_permille.items()):
+        quota = F.when(F.col(strata_col) == stratum, F.lit(int(permille))).otherwise(quota)
+    return df.filter(sample_key(F.col(id_col), salt) < quota)
+
+
+# PII patterns — deliberately restricted to syntax identical under Java
+# regex (Spark) and RE2 (DuckDB): character classes, bounded repeats,
+# \b word boundaries; no lookaround, no backreferences.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # 9+ digit runs with optional separators, optional +country prefix
+    "phone": (r"[+(]?[0-9][0-9 ()\-]{7,}[0-9]", "<PHONE>"),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "red_text"
+) -> DataFrame:
+    """Scrub emails / phone-number runs / IPv4 literals, appending match
+    counts per class.  Chained ``regexp_replace`` — single projection,
+    codegen, no Python.  Order matters (emails first: an address must not
+    be half-eaten by the phone pattern); counts are taken on the ORIGINAL
+    text."""
+    red = F.col(text_col)
+    counts = []
+    for name, (pat, token) in PII_PATTERNS.items():
+        counts.append(F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{name}"))
+        red = F.regexp_replace(red, pat, token)
+    return df.select("*", red.alias(out_col), *counts)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    idf_scale: int = 1000,
+) -> DataFrame:
+    """Top-``k`` salient terms per document by integer-scaled TF-IDF.
+
+    score(term, doc) = tf(term, doc) * ((idf_scale * N) // df(term)) —
+    all-integer (floor-divided idf) so the oracle can never drift on
+    libm log differences; the ranking is monotone in the usual
+    tf * N/df.  Ties break lexicographically on the term.
+
+    Plan: tokenize (per-row) → explode → tf agg (shuffle 1 on
+    (doc, term)) → df agg (shuffle 2 on term, result is vocab-sized) →
+    broadcast-join idf back → per-doc top-k window.  At corpus scale the
+    idf table is the vocabulary (small vs corpus) and broadcasts; the
+    window partitions by doc — no global sort.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import tokens
+
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    n_docs = df.select(id_col).distinct().count()
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # explicit floor: a bare CAST of the double quotient truncates on
+    # Spark but rounds half-to-even on DuckDB — floor is identical on
+    # both (and the int/int division is exact below 2^53)
+    idf = docfreq.select(
+        "term",
+        F.floor(F.lit(int(idf_scale) * int(n_docs)) / F.col("df")).cast("long").alias("idf"),
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        id_col, "term", (F.col("tf") * F.col("idf")).alias("score")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, F.col("rank").cast("long").alias("rank"), "term", F.col("score").cast("long").alias("score"))
+    )

@@ -1063,6 +1063,104 @@ FROM flag GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# corpus-construction suite (operators.corpus)
+# ---------------------------------------------------------------------------
+
+
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucketed training-mix sampling: en 300permille,
+    de 800permille, zh 1000permille, others dropped.  Membership is a pure
+    function of (doc_id, salt), so the oracle recomputes it exactly."""
+    from ..operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    out = corpus.stratified_sample(
+        docs, {"en": 300, "de": 800, "zh": 1000}, strata_col="lang", id_col="doc_id"
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
+
+_STRAT_SAMPLE_SQL = """
+SELECT doc_id, lang
+FROM documents
+WHERE ((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 15) AS BIGINT)) % 1000)
+      < (CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 800 WHEN 'zh' THEN 1000 ELSE 0 END)
+"""
+
+
+def corpus_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing machinery under a hard oracle: inject synthetic
+    email/phone/IP strings per row (identically in both engines), then
+    redact and count.  Patterns are restricted to the Java-regex ∩ RE2
+    common dialect."""
+    from ..operators import corpus
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id"), F.lit("@example.com"),
+            F.lit(" tel +81 90-1234-56"), F.col("doc_id"),
+            F.lit(" host 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+        ).alias("text"),
+    )
+    out = corpus.redact_pii(docs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5("red_text").alias("red_md5"),
+        "n_email", "n_phone", "n_ipv4",
+    )
+
+
+_REDACT_SQL = r"""
+WITH t AS (SELECT doc_id,
+                  text || ' contact u' || doc_id || '@example.com'
+                       || ' tel +81 90-1234-56' || doc_id
+                       || ' host 10.0.' || (doc_id % 256) || '.7' AS text
+           FROM documents),
+r AS (SELECT doc_id, text,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '[+(]?[0-9][0-9 ()\-]{7,}[0-9]', '<PHONE>', 'g'),
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS red_text
+      FROM t)
+SELECT doc_id,
+       md5(red_text) AS red_md5,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '[+(]?[0-9][0-9 ()\-]{7,}[0-9]')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4
+FROM r
+"""
+
+
+def corpus_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import corpus
+
+    out = corpus.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "rank", "term", "score"
+    )
+
+
+_TFIDF_SQL = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+idf AS (SELECT term, CAST(FLOOR(1000.0 * (SELECT n_docs FROM n) / COUNT(*)) AS BIGINT) AS idf
+        FROM tf GROUP BY term),
+scored AS (SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS score
+           FROM tf JOIN idf USING (term)),
+ranked AS (SELECT doc_id, term, score,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+           FROM scored)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, CAST(score AS BIGINT) AS score
+FROM ranked WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # multimodal plumbing (operators.multimodal)
 # ---------------------------------------------------------------------------
 
@@ -1276,6 +1374,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_quality": (text_quality, _QUALITY_SQL),
     "text_winnow_fp": (text_winnow_fp, _WINNOW_SQL),
     "text_doubled_tokens": (text_doubled_tokens, _DOUBLED_SQL),
+    # corpus-construction suite
+    "corpus_stratified_sample": (corpus_stratified_sample, _STRAT_SAMPLE_SQL),
+    "corpus_redact_pii": (corpus_redact_pii, _REDACT_SQL),
+    "corpus_tfidf_top_terms": (corpus_tfidf_top_terms, _TFIDF_SQL),
     # multimodal plumbing
     "media_features": (media_features, _MEDIA_FEATURES_SQL),
     # conversion engine — oracle = frozen reference-JS expectations

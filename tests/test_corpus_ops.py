@@ -1,0 +1,78 @@
+"""Corpus-construction operators: stratified sampling, PII redaction,
+TF-IDF top terms (operators/corpus.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from patent_decision_document_converter_spark.operators import corpus
+from patent_decision_document_converter_spark.plans.job import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    yield get_spark(app_name="pytest-corpus", master="local[4]", shuffle_partitions=4)
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    rows = [(i, "en" if i % 2 == 0 else "ja") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out1 = {r["doc_id"] for r in corpus.stratified_sample(df, {"en": 250, "ja": 1000}).collect()}
+    out2 = {
+        r["doc_id"]
+        for r in corpus.stratified_sample(df.repartition(7), {"en": 250, "ja": 1000}).collect()
+    }
+    assert out1 == out2  # membership independent of partitioning
+    n_en = sum(1 for i in out1 if i % 2 == 0)
+    n_ja = sum(1 for i in out1 if i % 2 == 1)
+    assert n_ja == 1000  # quota 1000 permille keeps every ja doc
+    assert 200 <= n_en <= 300  # ~250 permille of 1000
+    # independent salt draws a different sample
+    out3 = {
+        r["doc_id"]
+        for r in corpus.stratified_sample(df, {"en": 250, "ja": 1000}, salt="other").collect()
+    }
+    assert {i for i in out3 if i % 2 == 0} != {i for i in out1 if i % 2 == 0}
+
+
+def test_redact_pii_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail alice.smith+tag@sub.example.co.jp now"),
+            (2, "call +81 90-1234-5678 or (03) 1234-5678 today"),
+            (3, "server 192.168.0.1 and 10.0.0.255 up"),
+            (4, "clean text, no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in corpus.redact_pii(df).collect()}
+    assert out[1]["red_text"] == "mail <EMAIL> now"
+    assert out[1]["n_email"] == 1
+    assert out[2]["red_text"] == "call <PHONE> or <PHONE> today"
+    assert out[2]["n_phone"] == 2
+    assert out[3]["red_text"] == "server <IP> and <IP> up"
+    assert out[3]["n_ipv4"] == 2
+    assert out[4]["red_text"] == out[4]["text"]
+    assert out[4]["n_email"] == out[4]["n_phone"] == out[4]["n_ipv4"] == 0
+
+
+def test_tfidf_top_terms_ranks_salient_words(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark common common"),
+            (2, "duck duck common common"),
+            (3, "goose common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["rank"]): (r["term"], r["score"])
+        for r in corpus.tfidf_top_terms(df, k=2).collect()
+    }
+    # doc-specific terms beat the everywhere-word 'common'
+    assert out[(1, 1)][0] == "spark"
+    assert out[(2, 1)][0] == "duck"
+    assert out[(3, 1)][0] == "goose"
+    assert out[(1, 2)][0] == "common"
+    # integer scoring: tf * floor(1000 * 3 / df)
+    assert out[(1, 1)] == ("spark", 3 * (1000 * 3 // 1))
+    assert out[(1, 2)] == ("common", 2 * (1000 * 3 // 3))
