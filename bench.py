@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "corpus_stratified_sample",
     "corpus_redact_pii",
     "corpus_tfidf_top_terms",
+    "corpus_html_main_content",
     "text_token_stats",
     "text_quality",
     "text_winnow_fp",

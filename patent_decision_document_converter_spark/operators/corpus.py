@@ -123,3 +123,86 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, F.col("rank").cast("long").alias("rank"), "term", F.col("score").cast("long").alias("score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML main-content extraction (north_rule: boilerplate strip + heuristics)
+# ---------------------------------------------------------------------------
+
+# Java-regex ∩ RE2 dialect: (?s) dotall flag, lazy quantifiers, char
+# classes — no lookaround/backrefs (both engines agree on these).
+_HTML_DROP_BLOCKS = r"(?s)<(script|style|nav|header|footer|aside)[^>]*>.*?</(script|style|nav|header|footer|aside)>"
+_HTML_COMMENTS = r"(?s)<!--.*?-->"
+_HTML_TAGS = r"<[^>]+>"
+
+
+def html_strip(col: Column) -> Column:
+    """Markup → text: drop script/style/nav/header/footer/aside blocks
+    (classic boilerplate containers), comments, then all remaining tags;
+    decode the five standard entities; collapse whitespace."""
+    c = F.regexp_replace(col, _HTML_DROP_BLOCKS, " ")
+    c = F.regexp_replace(c, _HTML_COMMENTS, " ")
+    c = F.regexp_replace(c, _HTML_TAGS, " ")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    # explicit class: Java \s includes \x0b, RE2's does not
+    return F.trim(F.regexp_replace(c, r"[ \t\n\x0b\f\r]+", " "))
+
+
+def html_main_content(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    min_block_chars: int = 40,
+    max_link_density_permille: int = 500,
+) -> DataFrame:
+    """Main-content extraction from HTML documents — the classic
+    text-density heuristic (Arc90/boilerpipe family) relationally:
+
+    1. split the document into BLOCKS on block-level boundaries
+       (</p|div|section|article|li|h1..h6> and <br>),
+    2. per block: strip markup, measure text length and link density
+       (chars inside <a> tags / total chars — nav/boilerplate blocks are
+       link-dense),
+    3. keep blocks that are long enough AND not link-dominated
+       (link-text mass ≤ max_link_density_permille of block text),
+    4. reassemble in document order.
+
+    Pure column expressions over an exploded block table — the explode is
+    the only row-multiplying step and the reassembly groups back on the
+    id: one shuffle, ~boilerpipe semantics, 100 TB-ready (per-document
+    work is linear; no Python).
+    """
+    blocks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(html_col), r"(?i)</(?:p|div|section|article|li|h[1-6])>|<br[^>]*>")
+        ).alias("block_no", "raw"),
+    )
+    stripped = blocks.select(
+        F.col(id_col),
+        "block_no",
+        html_strip(F.col("raw")).alias("btext"),
+        # link text mass: everything inside <a ...>...</a>
+        html_strip(
+            F.concat_ws(
+                " ",
+                F.expr(r"regexp_extract_all(raw, '(?s)<a[^>]*>(.*?)</a>', 1)"),
+            )
+        ).alias("ltext"),
+    )
+    # keep: long enough, and link-text mass at most max_link_density
+    # (integer cross-multiplication — no float division)
+    kept = stripped.filter(
+        (F.length("btext") >= min_block_chars)
+        & (F.lit(1000) * F.length("ltext") <= F.lit(max_link_density_permille) * F.length("btext"))
+    )
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("block_no", "btext"))), lambda s: s["btext"]
+            ),
+        ).alias("main_text"),
+        F.count("*").cast("long").alias("n_blocks_kept"),
+    )

@@ -1160,6 +1160,39 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def corpus_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate strip + link-density DOM heuristic (north_rule's
+    main-content extraction) under a hard oracle: wrap each document's
+    text in a deterministic page skeleton (nav, link-farm div, short
+    stub, footer) identically in both engines; the extractor must keep
+    exactly the content block."""
+    from ..operators import corpus
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><style>p{margin:0}</style></head><body>'
+                  '<nav><a href="/">Home</a> <a href="/a">Archive</a> '
+                  '<a href="/c">Contact us here</a></nav><div>'),
+            F.col("text"),
+            F.lit('</div><div><a href="#">one</a> <a href="#">two three four '
+                  'five six seven eight nine ten eleven twelve</a></div>'
+                  '<p>Short.</p><footer>(c) 2026 BoilerCo all rights '
+                  'reserved legal</footer></body></html>'),
+        ).alias("html"),
+    )
+    out = corpus.html_main_content(docs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5("main_text").alias("main_md5"),
+        F.length("main_text").cast("long").alias("main_len"),
+        "n_blocks_kept",
+    )
+
+
+_HTML_MAIN_SQL = '\nWITH t AS (SELECT doc_id,\n                  \'<html><head><style>p{margin:0}</style></head><body>\'\n                  || \'<nav><a href="/">Home</a> <a href="/a">Archive</a> \'\n                  || \'<a href="/c">Contact us here</a></nav><div>\'\n                  || text ||\n                  \'</div><div><a href="#">one</a> <a href="#">two three four \'\n                  || \'five six seven eight nine ten eleven twelve</a></div>\'\n                  || \'<p>Short.</p><footer>(c) 2026 BoilerCo all rights \'\n                  || \'reserved legal</footer></body></html>\' AS html\n           FROM documents),\nb AS (SELECT doc_id, raw, block_no\n      FROM (SELECT doc_id,\n                   regexp_split_to_array(html, \'(?i)</(?:p|div|section|article|li|h[1-6])>|<br[^>]*>\') AS parts\n            FROM t),\n           LATERAL (SELECT unnest(parts) AS raw, unnest(range(1, len(parts) + 1)) AS block_no)),\nstrip AS (SELECT doc_id, block_no,\n                 trim(regexp_replace(\n                   replace(replace(replace(replace(replace(\n                     regexp_replace(\n                       regexp_replace(\n                         regexp_replace(raw,\n                           \'(?s)<(script|style|nav|header|footer|aside)[^>]*>.*?</(script|style|nav|header|footer|aside)>\', \' \', \'g\'),\n                         \'(?s)<!--.*?-->\', \' \', \'g\'),\n                       \'<[^>]+>\', \' \', \'g\'),\n                   \'&lt;\', \'<\'), \'&gt;\', \'>\'), \'&quot;\', \'"\'), \'&#39;\', \'\'\'\'), \'&amp;\', \'&\'),\n                   \'[ \\t\\n\\x0b\\f\\r]+\', \' \', \'g\')) AS btext,\n                 trim(regexp_replace(\n                   replace(replace(replace(replace(replace(\n                     regexp_replace(\n                       regexp_replace(\n                         regexp_replace(array_to_string(regexp_extract_all(raw, \'(?s)<a[^>]*>(.*?)</a>\', 1), \' \'),\n                           \'(?s)<(script|style|nav|header|footer|aside)[^>]*>.*?</(script|style|nav|header|footer|aside)>\', \' \', \'g\'),\n                         \'(?s)<!--.*?-->\', \' \', \'g\'),\n                       \'<[^>]+>\', \' \', \'g\'),\n                   \'&lt;\', \'<\'), \'&gt;\', \'>\'), \'&quot;\', \'"\'), \'&#39;\', \'\'\'\'), \'&amp;\', \'&\'),\n                   \'[ \\t\\n\\x0b\\f\\r]+\', \' \', \'g\')) AS ltext\n          FROM b),\nkept AS (SELECT doc_id, block_no, btext FROM strip\n         WHERE len(btext) >= 40 AND 1000 * len(ltext) <= 500 * len(btext))\nSELECT doc_id,\n       md5(string_agg(btext, chr(10) ORDER BY block_no)) AS main_md5,\n       CAST(len(string_agg(btext, chr(10) ORDER BY block_no)) AS BIGINT) AS main_len,\n       COUNT(*) AS n_blocks_kept\nFROM kept GROUP BY doc_id\n'
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (operators.multimodal)
 # ---------------------------------------------------------------------------
@@ -1378,6 +1411,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "corpus_stratified_sample": (corpus_stratified_sample, _STRAT_SAMPLE_SQL),
     "corpus_redact_pii": (corpus_redact_pii, _REDACT_SQL),
     "corpus_tfidf_top_terms": (corpus_tfidf_top_terms, _TFIDF_SQL),
+    "corpus_html_main_content": (corpus_html_main_content, _HTML_MAIN_SQL),
     # multimodal plumbing
     "media_features": (media_features, _MEDIA_FEATURES_SQL),
     # conversion engine — oracle = frozen reference-JS expectations

@@ -76,3 +76,36 @@ def test_tfidf_top_terms_ranks_salient_words(spark):
     # integer scoring: tf * floor(1000 * 3 / df)
     assert out[(1, 1)] == ("spark", 3 * (1000 * 3 // 1))
     assert out[(1, 2)] == ("common", 2 * (1000 * 3 // 3))
+
+
+def test_html_main_content_keeps_article_drops_boilerplate(spark):
+    html = (
+        "<html><head><style>p{color:red}</style></head><body>"
+        "<nav><a href=x>Home</a> <a href=y>About</a> <a href=z>Contact page link</a></nav>"
+        "<div>This is the real article body with plenty of informative text "
+        "that should definitely be kept by the extractor.</div>"
+        "<div><a href=a>link</a> <a href=b>link</a> "
+        "<a href=c>link farm link farm link farm link farm link</a></div>"
+        "<p>Another substantial paragraph of genuine content, long enough "
+        "to pass the minimum block length threshold easily.</p>"
+        "<!-- hidden comment boilerplate that must never surface -->"
+        "<footer>Copyright 2026 Example Corp all rights reserved</footer>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    r = corpus.html_main_content(df).collect()[0]
+    assert r["n_blocks_kept"] == 2
+    lines = r["main_text"].split("\n")
+    assert lines[0].startswith("This is the real article body")
+    assert lines[1].startswith("Another substantial paragraph")
+    for boiler in ("Home", "link farm", "Copyright", "color:red", "hidden comment"):
+        assert boiler not in r["main_text"]
+
+
+def test_html_strip_entities_and_tags(spark):
+    df = spark.createDataFrame(
+        [(1, "a &lt;tag&gt; &amp; &quot;q&quot; &#39;s&#39; <b>bold</b>  end")],
+        "doc_id long, html string",
+    )
+    got = df.select(corpus.html_strip(F.col("html")).alias("t")).collect()[0]["t"]
+    assert got == 'a <tag> & "q" \'s\' bold end'
