@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "events_sessionize",
     "events_hourly",
     "events_json_extract",
+    "events_funnel",
     "run_compress_orderkeys",
     "dedup_exact",
     "dedup_minhash_lsh",

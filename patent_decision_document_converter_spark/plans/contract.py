@@ -451,6 +451,86 @@ GROUP BY 1
 """
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → click → purchase per user:
+    stage N's timestamp is the EARLIEST event of that type strictly after
+    stage N-1's timestamp.  Self-join-free: one shuffle on user_id, the
+    three stage timestamps fold left-to-right inside a per-user aggregate
+    over the sorted event list (order-insensitive input → deterministic
+    fold), then a conversion-depth count."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("evs")
+    )
+    # fold: find first signup, then first click after it, then first purchase
+    stage = per_user.select(
+        "user_id",
+        F.expr(
+            "filter(evs, e -> e.event_type = 'signup')[0].ts"
+        ).alias("t_signup"),
+    )
+    stage = stage.join(per_user, "user_id").select(
+        "user_id",
+        "t_signup",
+        F.expr(
+            "filter(evs, e -> e.event_type = 'click')"
+        ).alias("_clicks"),
+        "evs",
+    )
+    stage = stage.select(
+        "user_id",
+        "t_signup",
+        F.expr("filter(_clicks, e -> e.ts > t_signup)[0].ts").alias("t_click"),
+        "evs",
+    )
+    out = stage.select(
+        "user_id",
+        "t_signup",
+        "t_click",
+        F.expr(
+            "filter(evs, e -> e.event_type = 'purchase' AND e.ts > t_click)[0].ts"
+        ).alias("t_purchase"),
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.date_format("t_signup", "yyyy-MM-dd HH:mm:ss").alias("t_signup"),
+        F.date_format("t_click", "yyyy-MM-dd HH:mm:ss").alias("t_click"),
+        F.date_format("t_purchase", "yyyy-MM-dd HH:mm:ss").alias("t_purchase"),
+        (
+            F.when(F.col("t_purchase").isNotNull(), 3)
+            .when(F.col("t_click").isNotNull(), 2)
+            .when(F.col("t_signup").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("depth"),
+    )
+
+
+_FUNNEL_SQL = """
+WITH s1 AS (SELECT user_id, MIN(ts) AS t_signup FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t_click
+       FROM events e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t_signup
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+       FROM events e JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+       GROUP BY e.user_id)
+SELECT u.user_id,
+       strftime(s1.t_signup, '%Y-%m-%d %H:%M:%S')   AS t_signup,
+       strftime(s2.t_click, '%Y-%m-%d %H:%M:%S')    AS t_click,
+       strftime(s3.t_purchase, '%Y-%m-%d %H:%M:%S') AS t_purchase,
+       CAST(CASE WHEN s3.t_purchase IS NOT NULL THEN 3
+                 WHEN s2.t_click IS NOT NULL THEN 2
+                 WHEN s1.t_signup IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS depth
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN s1 ON u.user_id = s1.user_id
+LEFT JOIN s2 ON u.user_id = s2.user_id
+LEFT JOIN s3 ON u.user_id = s3.user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # SURVEY §2.9 relational analogs
 # ---------------------------------------------------------------------------
@@ -1383,6 +1463,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_sessionize": (events_sessionize, _SESSIONIZE_SQL),
     "events_hourly": (events_hourly, _HOURLY_SQL),
     "events_json_extract": (events_json_extract, _JSON_SQL),
+    "events_funnel": (events_funnel, _FUNNEL_SQL),
     # SURVEY §2.9 relational analogs
     "run_compress_orderkeys": (run_compress_orderkeys, _RUN_COMPRESS_SQL),
     "doc_token_restitch": (doc_token_restitch, _RESTITCH_SQL),

@@ -160,13 +160,26 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def dedup_stream(docs: DataFrame, text_expr=None) -> DataFrame:
+def dedup_stream(
+    docs: DataFrame,
+    text_expr=None,
+    event_time_col: str | None = None,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
     """Streaming exact dedup: keep the first-seen document per content
-    hash across micro-batches (built-in ``dropDuplicates`` state store —
-    the idiomatic Spark form; on an unbounded stream pair it with
-    ``withWatermark`` + ``dropDuplicatesWithinWatermark`` to bound
-    state).  Content key = md5 of normalized text, same derivation as
-    the batch ``operators.dedup.exact_dedup``."""
+    hash across micro-batches.
+
+    Without ``event_time_col``: built-in ``dropDuplicates`` state store —
+    state grows with the distinct-hash count (fine for bounded backfills).
+    With ``event_time_col``: ``withWatermark`` +
+    ``dropDuplicatesWithinWatermark`` — the production form for an
+    UNBOUNDED stream: state for a hash is dropped once the watermark
+    passes its event time + delay, so executor state is bounded by the
+    duplicate-arrival horizon instead of the corpus (dupes arriving
+    within ``watermark_delay`` of each other are still caught, which is
+    the realistic ingest-crawl duplication pattern).  Content key = md5
+    of normalized text, same derivation as the batch
+    ``operators.dedup.exact_dedup``."""
     from ..operators.dedup import normalized_text
 
     if text_expr is None:
@@ -184,6 +197,10 @@ def dedup_stream(docs: DataFrame, text_expr=None) -> DataFrame:
         "content_hash",
         F.conv(F.substring(F.md5(F.lower(F.trim(F.regexp_replace(text_expr, r"\s+", " ")))), 1, 15), 16, 10).cast("long"),
     )
+    if event_time_col is not None:
+        return hashed.withWatermark(event_time_col, watermark_delay).dropDuplicatesWithinWatermark(
+            ["content_hash"]
+        )
     return hashed.dropDuplicates(["content_hash"])
 
 

@@ -181,3 +181,29 @@ def test_sessionize_stream_multichunk_group(spark, tmp_path_factory):
         "SELECT last(n_sessions) AS s, last(n_events) AS e FROM sess_big_test WHERE user_id = 1"
     ).collect()[0]
     assert (got["s"], got["e"]) == (expected_sessions, 800)
+
+
+def test_dedup_stream_within_watermark_bounds_state(spark, tmp_path_factory):
+    """Watermarked streaming dedup: duplicates arriving within the
+    watermark horizon are dropped; state is keyed on content hash with an
+    event-time TTL (the unbounded-stream form)."""
+    import datetime as dt
+
+    base = str(tmp_path_factory.mktemp("wm_dedup"))
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, "same content here"),
+        (2, t0 + dt.timedelta(minutes=5), "same   CONTENT  here"),  # dup (normalized)
+        (3, t0 + dt.timedelta(minutes=10), "different content entirely"),
+        (4, t0 + dt.timedelta(minutes=15), "same content here"),  # dup again
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ts timestamp, text string")
+    df.coalesce(1).write.parquet(base + "/in")
+
+    stream = spark.readStream.schema(df.schema).parquet(base + "/in")
+    out = stream_job.dedup_stream(
+        stream, text_expr=F.col("text"), event_time_col="ts", watermark_delay="1 hour"
+    )
+    stream_job.run_stream_to_memory(out.select("doc_id"), "wm_dedup_test", output_mode="append")
+    kept = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM wm_dedup_test").collect()}
+    assert kept == {1, 3}
