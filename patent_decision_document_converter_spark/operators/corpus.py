@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.cachereg import track
 from ..functions.hashing import md5_long
 
 
@@ -104,7 +105,10 @@ def tfidf_top_terms(
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term")).filter(
         F.col("term") != ""
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # tf feeds BOTH the doc-frequency aggregation and the scoring join —
+    # materialize it once or the tokenize+explode+agg subtree executes
+    # twice (measured: 5 exchanges -> 3)
+    tf = track(toks.groupBy(id_col, "term").agg(F.count("*").alias("tf")))
     n_docs = df.select(id_col).distinct().count()
     docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     # explicit floor: a bare CAST of the double quotient truncates on
