@@ -109,3 +109,27 @@ def test_html_strip_entities_and_tags(spark):
     )
     got = df.select(corpus.html_strip(F.col("html")).alias("t")).collect()[0]["t"]
     assert got == 'a <tag> & "q" \'s\' bold end'
+
+
+def test_stratified_sample_quota_monotone(spark):
+    """Hash-bucket quotas are NESTED: raising a stratum's quota only ADDS
+    documents — the 300-permille sample is a strict subset of the
+    800-permille sample (useful for growing a training mix without
+    resampling everything)."""
+    rows = [(i, "en") for i in range(1500)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    small = {r["doc_id"] for r in corpus.stratified_sample(df, {"en": 300}).collect()}
+    big = {r["doc_id"] for r in corpus.stratified_sample(df, {"en": 800}).collect()}
+    assert small < big
+
+
+def test_html_strip_single_pass_no_cascading_decode(spark):
+    """Within ONE pass, double-escaped entities must decode exactly one
+    level: '&amp;lt;' -> '&lt;' (literal text), never cascading to '<'.
+    Guarded by replacing &amp; LAST in the chain.  (A second strip pass
+    would decode one more level — inherent to any entity decoder, which
+    is why the operator is applied once per block.)"""
+    html = "x &amp;lt;b&amp;gt; <i>it</i> &quot;q&quot; <script>no()</script> done"
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    a = df.select(corpus.html_strip(F.col("html")).alias("t")).collect()[0]["t"]
+    assert a == "x &lt;b&gt; it \"q\" done"
