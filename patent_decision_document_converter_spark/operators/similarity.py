@@ -327,6 +327,7 @@ def kmeans_fit_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    train_permille: int = 1000,
 ) -> tuple[DataFrame, list[list[int]]]:
     """Lloyd's k-means over integer-quantized vectors; returns
     (df + ``cell`` column, final centroids as integer lists).
@@ -345,12 +346,25 @@ def kmeans_fit_assign(
     * empty cells keep their previous centroid.
 
     Centroids live on the driver between iterations (k × dim ints — model
-    parameters, not data).  At 10^6 cells you'd keep the centroid table
-    distributed, broadcast-join the assignment, and train on a sample —
+    parameters, not data).  ``train_permille`` < 1000 trains the update
+    steps on a DETERMINISTIC hash subsample (corpus.sample_key — same
+    doctrine as stratified_sample: membership is a pure row function, so
+    the trained model is reproducible under any partitioning) while the
+    final assignment still covers every row — the standard
+    train-on-a-sample / assign-everything split that makes k-means
+    tractable at 10^9+ vectors.  At 10^6 cells you'd additionally keep
+    the centroid table distributed and broadcast-join the assignment —
     same plan shape per iteration (pyspark.ml.KMeans does exactly this);
     this implementation trades that for bit-exact replayability.
     """
+    from .corpus import sample_key
+
     q = df.select(F.col(id_col), _quantize(F.col(vec_col), scale).alias("qv"))
+    q_train = (
+        q.filter(sample_key(F.col(id_col), "kmeans") < F.lit(train_permille))
+        if train_permille < 1000
+        else q
+    )
     cents = [
         [int(x) for x in r["qv"]]
         for r in q.filter(F.col(id_col) < k).orderBy(id_col).collect()
@@ -368,7 +382,7 @@ def kmeans_fit_assign(
         return frame.withColumn("cell", F.array_min(pairs)["cid"].cast("int"))
 
     for _ in range(iters):
-        assigned = assign(q)
+        assigned = assign(q_train)
         # element-wise integer mean per cell: posexplode -> (cell, pos) sum/count
         per_dim = (
             assigned.select("cell", F.posexplode("qv").alias("pos", "x"))

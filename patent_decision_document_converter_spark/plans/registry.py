@@ -322,6 +322,35 @@ def register_sql_udfs(spark, prefix: str = "convert_") -> list[str]:
     return names
 
 
+def register_sql_udtfs(spark, prefix: str = "extract_") -> list[str]:
+    """Table-function SQL surface (Spark 3.5+ Python UDTF, Arrow-enabled):
+
+        SELECT d.doc_id, r.ref_type, r.num
+        FROM documents d, LATERAL extract_refs(d.text) r
+
+    ``extract_refs`` explodes a document's paragraph/figure references
+    (the aggregation state of SURVEY §2.9 extractParagraphAndFigureRefs)
+    into typed rows — the relational form of the paragraph-mode output,
+    for SQL users who want refs as a TABLE instead of the formatted
+    string.  Returns the registered function names."""
+    from pyspark.sql.functions import udtf
+
+    from ..functions import parex
+
+    @udtf(returnType="ref_type: string, num: int, pad_width: int")
+    class ExtractRefs:
+        def eval(self, text: str):  # noqa: D401
+            paras, width, figs = parex.extract_refs("" if text is None else str(text))
+            for n in paras:
+                yield ("paragraph", n, width)
+            for n in figs:
+                yield ("figure", n, 0)
+
+    name = f"{prefix}refs"
+    spark.udtf.register(name, ExtractRefs)
+    return [name]
+
+
 def mode_fn(mode: str) -> StrFilter:
     """One fused callable for a mode (pre-step + all chains), suitable for
     wrapping in a single mapInPandas stage."""

@@ -168,3 +168,24 @@ def test_parameterized_pipeline_matches_reference_js():
             )
             == want
         )
+
+
+def test_udtf_extract_refs_matches_parex():
+    from patent_decision_document_converter_spark.functions import parex
+    from patent_decision_document_converter_spark.plans.job import get_spark
+    from patent_decision_document_converter_spark.plans.registry import register_sql_udtfs
+
+    spark = get_spark(app_name="pytest-udtf", master="local[2]", shuffle_partitions=2)
+    assert register_sql_udtfs(spark) == ["extract_refs"]
+
+    text = "本願の【００２７】ないし【００３０】及び[0042]、図１、３-５を参照。"
+    df = spark.createDataFrame([(1, text), (2, "no refs here")], "doc_id long, text string")
+    df.createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        "SELECT d.doc_id, r.ref_type, r.num, r.pad_width "
+        "FROM udtf_docs d, LATERAL extract_refs(d.text) r ORDER BY d.doc_id, r.ref_type, r.num"
+    ).collect()
+    paras, width, figs = parex.extract_refs(text)
+    want = [(1, "figure", n, 0) for n in figs] + [(1, "paragraph", n, width) for n in paras]
+    assert [(r["doc_id"], r["ref_type"], r["num"], r["pad_width"]) for r in rows] == want
+    assert not [r for r in rows if r["doc_id"] == 2]  # zero rows for ref-free docs

@@ -482,3 +482,19 @@ def test_media_features_scan_reads_only_doc_id(spark):
     assert "ReadSchema: struct<doc_id:bigint>" in qe.explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
+
+
+def test_kmeans_trains_on_sample_assigns_all(vectors):
+    df, rows = vectors
+    assigned, cents = similarity.kmeans_fit_assign(df, k=3, iters=2, train_permille=600)
+    a = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    assert len(a) == len(rows)  # every vector assigned, sampled training or not
+    # deterministic: same sample -> same model
+    _, cents2 = similarity.kmeans_fit_assign(df, k=3, iters=2, train_permille=600)
+    assert cents == cents2
+    # tight same-label clusters still land in one cell each
+    labels = {r[0]: r[2] for r in rows}
+    by_label = {}
+    for vid, cell in a.items():
+        by_label.setdefault(labels[vid], set()).add(cell)
+    assert all(len(cells) == 1 for cells in by_label.values())
