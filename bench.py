@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "corpus_redact_pii",
     "corpus_tfidf_top_terms",
     "corpus_html_main_content",
+    "convert_interleaved_spans",
     "text_token_stats",
     "text_quality",
     "text_winnow_fp",

@@ -1444,6 +1444,112 @@ JOIN documents d ON d.doc_id = e.doc_id AND md5(d.text) = e.in_md5
 """
 
 
+def convert_interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE north_rule core path under the driver gate: interleaved
+    text+media spans.  Each document is split into two text runs with a
+    media span between them — the media span is a HARD conversion
+    boundary, so the engine must convert each run independently and
+    re-stitch in order.  The oracle holds reference-JS digests of each
+    half's conversion (frozen by tools/freeze_convert_oracle.py), plus
+    the media passthrough fields."""
+    from .job import convert_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    half = F.floor(F.length("text") / 2).cast("int")
+    spans_df = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.substring(F.col("text"), 1, half).alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+            F.struct(
+                F.lit("figure").alias("kind"),
+                F.lit("[図１]").alias("text"),
+                F.concat(F.lit("m:"), F.col("doc_id")).alias("media_ref"),
+                F.lit(1).alias("offset"),
+            ),
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.substring(F.col("text"), half + 1, F.length("text")).alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(2).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    out = convert_documents(spans_df, mode="officeAction")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_spans_out").cast("long").alias("n_spans_out"),
+        F.md5(F.col("spans")[0]["text"]).alias("h1_md5"),
+        F.col("spans")[1]["kind"].alias("media_kind"),
+        F.col("spans")[1]["media_ref"].alias("media_ref"),
+        F.col("spans")[1]["offset"].cast("long").alias("media_offset"),
+        F.md5(F.col("spans")[2]["text"]).alias("h2_md5"),
+        F.size("findings").cast("long").alias("n_findings"),
+    )
+
+
+def convert_interleaved_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXPLODED (skew-defusal) strategy on the same interleaved
+    corpus — per-run fan-out, window re-stitch — must hit the identical
+    reference-JS oracle as the nested strategy."""
+    from .job import convert_documents_exploded
+
+    docs = _t(spark, sf_dir, "documents")
+    half = F.floor(F.length("text") / 2).cast("int")
+    spans_df = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.substring(F.col("text"), 1, half).alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+            F.struct(
+                F.lit("figure").alias("kind"),
+                F.lit("[図１]").alias("text"),
+                F.concat(F.lit("m:"), F.col("doc_id")).alias("media_ref"),
+                F.lit(1).alias("offset"),
+            ),
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.substring(F.col("text"), half + 1, F.length("text")).alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(2).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    out = convert_documents_exploded(spans_df, mode="officeAction")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_spans_out").cast("long").alias("n_spans_out"),
+        F.md5(F.col("spans")[0]["text"]).alias("h1_md5"),
+        F.col("spans")[1]["kind"].alias("media_kind"),
+        F.col("spans")[1]["media_ref"].alias("media_ref"),
+        F.col("spans")[1]["offset"].cast("long").alias("media_offset"),
+        F.md5(F.col("spans")[2]["text"]).alias("h2_md5"),
+        F.size("findings").cast("long").alias("n_findings"),
+    )
+
+
+_CONVERT_INTERLEAVED_SQL = f"""
+SELECT CAST(e.doc_id AS BIGINT)        AS doc_id,
+       CAST(3 AS BIGINT)               AS n_spans_out,
+       e.oa_h1_md5                     AS h1_md5,
+       'figure'                        AS media_kind,
+       'm:' || e.doc_id                AS media_ref,
+       CAST(1 AS BIGINT)               AS media_offset,
+       e.oa_h2_md5                     AS h2_md5,
+       CAST(e.oa_h_findings AS BIGINT) AS n_findings
+FROM read_parquet('{_CONVERT_EXPECTED}') e
+JOIN documents d ON d.doc_id = e.doc_id AND md5(d.text) = e.in_md5
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1499,6 +1605,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "convert_office_action": (convert_office_action, _CONVERT_OA_SQL),
     "convert_html_spans": (convert_html_spans, _CONVERT_HTML_SQL),
     "convert_paragraph_refs": (convert_paragraph_refs, _CONVERT_PAR_SQL),
+    "convert_interleaved_spans": (convert_interleaved_spans, _CONVERT_INTERLEAVED_SQL),
+    "convert_interleaved_exploded": (convert_interleaved_exploded, _CONVERT_INTERLEAVED_SQL),
 }
 
 

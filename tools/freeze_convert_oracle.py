@@ -14,6 +14,12 @@ for the three contract modes plus the typo checker, and writes one row per
     par_refs      VARCHAR  paragraph-mode output (extractParagraphAndFigureRefs)
     html_md5      VARCHAR  md5 of the html-mode output
     html_len      BIGINT   html-mode output length (code points)
+    oa_h1_md5     VARCHAR  officeAction output md5 of the FIRST HALF of the
+                           text (chars [0, len//2)) — interleaved-spans gate:
+                           a media span between two text runs makes each run
+                           an independent conversion unit
+    oa_h2_md5     VARCHAR  officeAction output md5 of the second half
+    oa_h_findings BIGINT   typo finding count of half1 + half2
 
 The contract oracle SQL joins this parquet to the live `documents` view on
 ``doc_id AND md5(text) = in_md5`` — so it both selects the right sf's rows
@@ -68,12 +74,20 @@ def main(sf_dirs: list[str]) -> int:
         # one node invocation per sf dir: 4 reference runs per document
         reqs = []
         for _doc_id, text in docs:
-            for mode in ("officeAction", "paragraph", "html", "typo"):
-                reqs.append({"mode": mode, "text": text})
+            h1, h2 = text[: len(text) // 2], text[len(text) // 2 :]
+            for mode, t in (
+                ("officeAction", text), ("paragraph", text), ("html", text),
+                ("typo", text), ("officeAction", h1), ("officeAction", h2),
+                ("typo", h1), ("typo", h2),
+            ):
+                reqs.append({"mode": mode, "text": t})
         outs = run_js(reqs)
         for i, (doc_id, text) in enumerate(docs):
-            oa, par, html, typo = outs[4 * i : 4 * i + 4]
+            oa, par, html, typo, oa1, oa2, ty1, ty2 = outs[8 * i : 8 * i + 8]
             n_findings = len(typo["items"]) if typo.get("hasError") else 0
+            nf_halves = (len(ty1["items"]) if ty1.get("hasError") else 0) + (
+                len(ty2["items"]) if ty2.get("hasError") else 0
+            )
             key = (int(doc_id), md5(text))
             row = {
                 "doc_id": int(doc_id),
@@ -84,6 +98,9 @@ def main(sf_dirs: list[str]) -> int:
                 "par_refs": par,
                 "html_md5": md5(html),
                 "html_len": len(html),
+                "oa_h1_md5": md5(oa1),
+                "oa_h2_md5": md5(oa2),
+                "oa_h_findings": nf_halves,
             }
             if key in rows:
                 assert rows[key] == row, f"conflicting expectation for {key}"
@@ -100,6 +117,9 @@ def main(sf_dirs: list[str]) -> int:
             "par_refs": pa.array([r["par_refs"] for r in rows.values()], pa.string()),
             "html_md5": pa.array([r["html_md5"] for r in rows.values()], pa.string()),
             "html_len": pa.array([r["html_len"] for r in rows.values()], pa.int64()),
+            "oa_h1_md5": pa.array([r["oa_h1_md5"] for r in rows.values()], pa.string()),
+            "oa_h2_md5": pa.array([r["oa_h2_md5"] for r in rows.values()], pa.string()),
+            "oa_h_findings": pa.array([r["oa_h_findings"] for r in rows.values()], pa.int64()),
         }
     )
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
