@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "ann_topk_lsh",
     "ann_topk_lsh_multiprobe",
     "dedup_clusters",
+    "dedup_decontaminate",
     "media_features",
     "corpus_stratified_sample",
     "corpus_redact_pii",

@@ -611,3 +611,48 @@ def connected_components(
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
     )
     return leaves.union(roots)
+
+
+# ---------------------------------------------------------------------------
+# 6. eval-set decontamination (cross-corpus n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def cross_ngram_overlap(
+    train: DataFrame,
+    evalset: DataFrame,
+    shingle_k: int = 3,
+    min_common: int = 1,
+    train_id: str = "doc_id",
+    eval_id: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training↔eval contamination scan: (train_doc, eval_doc, n_common)
+    for every pair sharing ≥ ``min_common`` distinct word-``shingle_k``-
+    grams — the standard n-gram-collision decontamination check run
+    before training (eval answers leaking into the train set).
+
+    Scale shape: shingles are joined by their 60-bit md5 hash (short
+    key); the eval side is tiny relative to the corpus, so its shingle
+    table BROADCASTS — the train side is never shuffled, making the scan
+    a map-side join over the corpus + one small aggregation.  Raise
+    ``shingle_k`` (8-13 is typical for decontamination) to sharpen
+    precision on real corpora.
+    """
+    def side(df: DataFrame, id_col: str, alias: str) -> DataFrame:
+        toked = df.select(F.col(id_col).alias(alias), tokens(text_col).alias("_toks"))
+        sh = toked.select(
+            F.col(alias), shingles_from_tokens(F.col("_toks"), shingle_k).alias("_sh")
+        )
+        return sh.select(F.col(alias), F.explode("_sh").alias("shingle")).select(
+            F.col(alias), md5_long(F.col("shingle")).alias("sh_hash")
+        )
+
+    t = side(train, train_id, "train_id")
+    e = side(evalset, eval_id, "eval_id")
+    return (
+        t.join(F.broadcast(e), "sh_hash")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )

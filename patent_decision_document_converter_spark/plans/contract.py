@@ -725,6 +725,38 @@ WHERE common >= 2
 """
 
 
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: every 50th document plays the held-out
+    eval set; report train docs sharing >= 2 distinct 3-gram shingles
+    with any eval doc (eval shingle table broadcasts; the corpus side
+    never shuffles before the pair aggregation)."""
+    docs = _t(spark, sf_dir, "documents")
+    evalset = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    out = dedup.cross_ngram_overlap(train, evalset, shingle_k=3, min_common=2)
+    return out.select(
+        F.col("train_id").cast("long").alias("train_id"),
+        F.col("eval_id").cast("long").alias("eval_id"),
+        F.col("n_common").cast("long").alias("n_common"),
+    )
+
+
+_DECONTAM_SQL = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(1, len(toks) + 1)) AS pos FROM t),
+sh0 AS (SELECT doc_id,
+               tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL)
+SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+       COUNT(*) AS n_common
+FROM sh tr JOIN sh ev ON tr.shingle = ev.shingle
+WHERE tr.doc_id % 50 <> 0 AND ev.doc_id % 50 = 0
+GROUP BY tr.doc_id, ev.doc_id
+HAVING COUNT(*) >= 2
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_fingerprints(_t(spark, sf_dir, "documents"))
 
@@ -1577,6 +1609,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_exact": (dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, _MINHASH_SQL),
     "dedup_clusters": (dedup_clusters, _CLUSTERS_SQL),
+    "dedup_decontaminate": (dedup_decontaminate, _DECONTAM_SQL),
     "dedup_shingle_overlap": (dedup_shingle_overlap, _SHINGLE_OVERLAP_SQL),
     "dedup_simhash": (dedup_simhash, _SIMHASH_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, _SIMHASH_PAIRS_SQL),

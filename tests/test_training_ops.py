@@ -498,3 +498,29 @@ def test_kmeans_trains_on_sample_assigns_all(vectors):
     for vid, cell in a.items():
         by_label.setdefault(labels[vid], set()).add(cell)
     assert all(len(cells) == 1 for cells in by_label.values())
+
+
+def test_cross_ngram_overlap_decontamination(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated sentence with other words"),
+            (3, "quick brown fox jumps high"),
+        ],
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame(
+        [(100, "a quick brown fox jumps question")], "doc_id long, text string"
+    )
+    out = {
+        (r["train_id"], r["eval_id"]): r["n_common"]
+        for r in dedup.cross_ngram_overlap(train, evalset, shingle_k=3, min_common=1).collect()
+    }
+    # doc 1 and 3 share 'quick brown fox' / 'brown fox jumps' trigrams
+    assert out[(1, 100)] == 2 and out[(3, 100)] == 2
+    assert (2, 100) not in out
+    # plan: eval side broadcasts, corpus side unshuffled before the agg
+    plan = (
+        dedup.cross_ngram_overlap(train, evalset)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
