@@ -133,19 +133,48 @@ def tfidf_top_terms(
 # HTML main-content extraction (north_rule: boilerplate strip + heuristics)
 # ---------------------------------------------------------------------------
 
-# Java-regex ∩ RE2 dialect: (?s) dotall flag, lazy quantifiers, char
-# classes — no lookaround/backrefs (both engines agree on these).
-_HTML_DROP_BLOCKS = r"(?s)<(script|style|nav|header|footer|aside)[^>]*>.*?</(script|style|nav|header|footer|aside)>"
-_HTML_COMMENTS = r"(?s)<!--.*?-->"
+# Java-regex ∩ RE2 dialect: (?s) dotall flag, char classes — no
+# lookaround/backrefs (both engines agree on these).
+#
+# BACKTRACKING NOTE (the r1 megadoc lesson, again): the obvious one-regex
+# form `<script...>.*?</script>` is O(n²) under Java's backtracking
+# engine on adversarial input — every UNCLOSED `<script` start lazily
+# scans to end-of-document before failing (measured 4× time per 2× size;
+# a 4 MB hostile page ≈ minutes per doc — a straggler-killer).  RE2
+# (DuckDB) is automaton-linear on the same pattern, so the ORACLE keeps
+# the regex form; the engine uses the split-based linear algorithm
+# below, which is whitespace-equivalent (both replace dropped regions
+# with spaces that the final collapse normalizes).
+_HTML_CONTAINERS = "script|style|nav|header|footer|aside"
 _HTML_TAGS = r"<[^>]+>"
+
+
+def _drop_to_end_after(col: Column, close_split_re: str, open_re: str) -> Column:
+    """Linear boilerplate-block removal: split on CLOSE markers; in every
+    non-final piece, drop from the first OPEN marker to the piece's end
+    (one greedy to-end match — no lazy backtracking).  Unclosed opens in
+    the final piece are preserved, matching the regex form's no-match
+    behavior."""
+    parts = F.split(col, close_split_re)
+    n = F.size(parts)
+    cleaned = F.transform(
+        parts,
+        lambda x, i: F.when(i < n - 1, F.regexp_replace(x, open_re, " ")).otherwise(x),
+    )
+    return F.concat_ws(" ", cleaned)
 
 
 def html_strip(col: Column) -> Column:
     """Markup → text: drop script/style/nav/header/footer/aside blocks
     (classic boilerplate containers), comments, then all remaining tags;
-    decode the five standard entities; collapse whitespace."""
-    c = F.regexp_replace(col, _HTML_DROP_BLOCKS, " ")
-    c = F.regexp_replace(c, _HTML_COMMENTS, " ")
+    decode the five standard entities; collapse whitespace.  All steps
+    linear (see backtracking note above)."""
+    c = _drop_to_end_after(
+        col,
+        f"(?i)</(?:{_HTML_CONTAINERS})>",
+        f"(?si)<(?:{_HTML_CONTAINERS})[^>]*>.*",
+    )
+    c = _drop_to_end_after(c, "-->", "(?s)<!--.*")
     c = F.regexp_replace(c, _HTML_TAGS, " ")
     for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")):
         c = F.replace(c, F.lit(ent), F.lit(ch))
