@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "text_quality",
     "text_winnow_fp",
     "text_doubled_tokens",
+    "text_repetition",
 ]
 
 N_BENCH_DOCS = 3000

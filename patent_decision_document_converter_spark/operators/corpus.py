@@ -212,17 +212,24 @@ def html_main_content(
             F.split(F.col(html_col), r"(?i)</(?:p|div|section|article|li|h[1-6])>|<br[^>]*>")
         ).alias("block_no", "raw"),
     )
+    # link text mass: everything inside <a ...>...</a>.  Same linear
+    # construction as html_strip's block drop (the lazy
+    # `<a...>(.*?)</a>` form backtracks quadratically on unclosed <a>):
+    # split on </a>; in each non-final piece the link text is whatever
+    # follows the LAST <a...> open (greedy-prefix match, one pass).
+    link_parts = F.split(F.col("raw"), "(?i)</a>")
+    n_lp = F.size(link_parts)
+    link_texts = F.transform(
+        link_parts,
+        lambda x, i: F.when(
+            i < n_lp - 1, F.regexp_extract(x, r"(?si).*<a[^>]*>(.*)$", 1)
+        ).otherwise(F.lit("")),
+    )
     stripped = blocks.select(
         F.col(id_col),
         "block_no",
         html_strip(F.col("raw")).alias("btext"),
-        # link text mass: everything inside <a ...>...</a>
-        html_strip(
-            F.concat_ws(
-                " ",
-                F.expr(r"regexp_extract_all(raw, '(?s)<a[^>]*>(.*?)</a>', 1)"),
-            )
-        ).alias("ltext"),
+        html_strip(F.concat_ws(" ", link_texts)).alias("ltext"),
     )
     # keep: long enough, and link-text mass at most max_link_density
     # (integer cross-multiplication — no float division)

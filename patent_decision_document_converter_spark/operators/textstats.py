@@ -209,3 +209,86 @@ def doubled_token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = 
             F.sum(F.when(F.col("tok") == F.col("nxt"), 1).otherwise(0)).alias("n_doubled")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style filters — Rae et al. 2021, §A1.1)
+# ---------------------------------------------------------------------------
+
+
+def repetition_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document repetition filters in the Gopher family, as integer
+    permille (floor(1000 * num / den) — single exact double division, no
+    float drift):
+
+    * ``dup_line_permille``       — lines that repeat an earlier identical
+      line / total lines;
+    * ``dup_line_char_permille``  — characters inside those repeated
+      lines / total line characters;
+    * ``top_bigram_permille``     — characters covered by the most
+      frequent word 2-gram (count × len) / normalized text length.
+
+    Shape: one explode per signal family, aggregations keyed on the doc
+    id — two shuffles total, both on the id the corpus is already
+    partitioned by.  Blank docs emit 0s (never NULL).
+    """
+    lines = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    )
+    w = Window.partitionBy(id_col, "line").orderBy("pos")
+    flagged = lines.select(
+        F.col(id_col),
+        F.length("line").alias("n_chars"),
+        (F.row_number().over(w) > 1).cast("int").alias("is_dup"),
+    )
+    line_stats = flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_lines"),
+        F.sum("is_dup").alias("n_dup_lines"),
+        F.sum("n_chars").alias("line_chars"),
+        F.sum(F.col("n_chars") * F.col("is_dup")).alias("dup_line_chars"),
+    )
+
+    toked = df.select(F.col(id_col), ws_tokens(text_col).alias("_toks"))
+    grams = toked.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("_toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_toks") - 1),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    top = (
+        grams.groupBy(id_col, "bigram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.max(F.col("cnt") * F.length("bigram")).alias("top_bigram_chars"))
+    )
+
+    norm_len = df.select(
+        F.col(id_col),
+        F.length(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))).alias("norm_len"),
+    )
+
+    def permille(num, den):
+        return F.when(den > 0, F.floor(F.lit(1000) * num / den)).otherwise(F.lit(0)).cast("long")
+
+    return (
+        norm_len.join(line_stats, id_col, "left")
+        .join(top, id_col, "left")
+        .select(
+            F.col(id_col),
+            permille(F.coalesce("n_dup_lines", F.lit(0)), F.coalesce("n_lines", F.lit(0))).alias(
+                "dup_line_permille"
+            ),
+            permille(
+                F.coalesce("dup_line_chars", F.lit(0)), F.coalesce("line_chars", F.lit(0))
+            ).alias("dup_line_char_permille"),
+            permille(F.coalesce("top_bigram_chars", F.lit(0)), F.col("norm_len")).alias(
+                "top_bigram_permille"
+            ),
+        )
+    )

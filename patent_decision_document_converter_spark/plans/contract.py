@@ -1157,6 +1157,44 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition filters (duplicate lines / duplicate-line
+    chars / top-bigram coverage) as integer permille."""
+    out = textstats.repetition_signals(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "dup_line_permille", "dup_line_char_permille", "top_bigram_permille"
+    )
+
+
+_REPETITION_SQL = f"""
+WITH ln AS (SELECT doc_id, line, pos,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+            FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+                         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+                  FROM documents)),
+ls AS (SELECT doc_id, COUNT(*) AS n_lines,
+              SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dup,
+              SUM(len(line)) AS line_chars,
+              SUM(CASE WHEN rn > 1 THEN len(line) ELSE 0 END) AS dup_chars
+       FROM ln GROUP BY doc_id),
+t AS (SELECT doc_id, {_SQL_WSTOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(1, len(toks) + 1)) AS pos FROM t),
+bg AS (SELECT doc_id, tok || ' ' || LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+       FROM tok),
+bc AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg WHERE bigram IS NOT NULL GROUP BY doc_id, bigram),
+tb AS (SELECT doc_id, MAX(cnt * len(bigram)) AS top_chars FROM bc GROUP BY doc_id),
+nl AS (SELECT doc_id, len({_SQL_WSTRIM}) AS norm_len FROM documents)
+SELECT nl.doc_id,
+       CAST(CASE WHEN COALESCE(ls.n_lines, 0) > 0
+                 THEN FLOOR(1000.0 * COALESCE(ls.n_dup, 0) / ls.n_lines) ELSE 0 END AS BIGINT) AS dup_line_permille,
+       CAST(CASE WHEN COALESCE(ls.line_chars, 0) > 0
+                 THEN FLOOR(1000.0 * COALESCE(ls.dup_chars, 0) / ls.line_chars) ELSE 0 END AS BIGINT) AS dup_line_char_permille,
+       CAST(CASE WHEN nl.norm_len > 0
+                 THEN FLOOR(1000.0 * COALESCE(tb.top_chars, 0) / nl.norm_len) ELSE 0 END AS BIGINT) AS top_bigram_permille
+FROM nl LEFT JOIN ls ON nl.doc_id = ls.doc_id LEFT JOIN tb ON nl.doc_id = tb.doc_id
+"""
+
+
 def text_doubled_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = textstats.doubled_token_counts(_t(spark, sf_dir, "documents"))
     return out.select("doc_id", F.col("n_doubled").cast("long").alias("n_doubled"))
@@ -1627,6 +1665,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_quality": (text_quality, _QUALITY_SQL),
     "text_winnow_fp": (text_winnow_fp, _WINNOW_SQL),
     "text_doubled_tokens": (text_doubled_tokens, _DOUBLED_SQL),
+    "text_repetition": (text_repetition, _REPETITION_SQL),
     # corpus-construction suite
     "corpus_stratified_sample": (corpus_stratified_sample, _STRAT_SAMPLE_SQL),
     "corpus_redact_pii": (corpus_redact_pii, _REDACT_SQL),

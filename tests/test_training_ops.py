@@ -524,3 +524,29 @@ def test_cross_ngram_overlap_decontamination(spark):
         dedup.cross_ngram_overlap(train, evalset)._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_signals_gopher_style(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "unique one\nunique two\nunique three"),           # no repetition
+            (2, "same line\nsame line\nsame line\nother"),          # 2 of 4 lines dup
+            (3, "go go go go go go"),                               # one dominating bigram
+            (4, ""),                                                # blank -> all zeros
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in textstats.repetition_signals(df).collect()}
+    assert out[1]["dup_line_permille"] == 0
+    assert out[2]["dup_line_permille"] == 500  # 2/4
+    # dup chars: 2 * len('same line') / total
+    total = len("same line") * 3 + len("other")
+    assert out[2]["dup_line_char_permille"] == int(1000 * 2 * len("same line") / total)
+    # 'go go' occurs 5 times, 5*5=25 chars over 17 normalized chars -> >1000
+    assert out[3]["top_bigram_permille"] == int(1000 * 25 / len("go go go go go go"))
+    assert out[4] == {
+        "doc_id": 4,
+        "dup_line_permille": 0,
+        "dup_line_char_permille": 0,
+        "top_bigram_permille": 0,
+    }
