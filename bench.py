@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "corpus_redact_pii",
     "corpus_tfidf_top_terms",
     "corpus_html_main_content",
+    "corpus_token_batches",
     "convert_interleaved_spans",
     "text_token_stats",
     "text_quality",

@@ -246,3 +246,45 @@ def html_main_content(
         ).alias("main_text"),
         F.count("*").cast("long").alias("n_blocks_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# token-budget batch packing (training batch construction)
+# ---------------------------------------------------------------------------
+
+
+def token_batches(
+    df: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to training batches under a token budget:
+    order by (token_count DESC, id), then ``batch_id =
+    floor(inclusive_cumsum(tokens) / budget)`` — the cumulative-sum
+    approximation of next-fit packing that large-data pipelines actually
+    use: fully deterministic, one window pass, and every batch's total
+    overshoots the budget by LESS THAN ONE document (exact first-fit-
+    decreasing is inherently sequential state and cannot be expressed as
+    a distributed window).  Length-descending order keeps batches
+    length-homogeneous (less padding waste).
+
+    Scale note: the cumsum window is UNPARTITIONED (a global total
+    order).  That is fine for ≤ ~10^8 rows of (id, count) pairs; at
+    corpus scale, first range-partition by the same sort key
+    (``repartitionByRange``) and run the cumsum per range with offsets
+    from the per-range totals — same arithmetic, two small passes.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.textstats import ws_tokens
+
+    counted = df.select(F.col(id_col), F.size(ws_tokens(text_col)).alias("n_tokens"))
+    w = Window.orderBy(F.desc("n_tokens"), F.asc(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return counted.select(
+        F.col(id_col),
+        "n_tokens",
+        F.floor(F.sum("n_tokens").over(w) / F.lit(int(budget_tokens))).cast("long").alias("batch_id"),
+    )

@@ -221,8 +221,10 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     permille (floor(1000 * num / den) — single exact double division, no
     float drift):
 
-    * ``dup_line_permille``       — lines that repeat an earlier identical
-      line / total lines;
+    * ``dup_line_permille``       — non-empty lines that repeat an earlier
+      identical line / total non-empty lines (empty lines are structure,
+      not content — counting them as duplicates would flag every
+      multi-paragraph document);
     * ``dup_line_char_permille``  — characters inside those repeated
       lines / total line characters;
     * ``top_bigram_permille``     — characters covered by the most
@@ -234,7 +236,7 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     """
     lines = df.select(
         F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
-    )
+    ).filter(F.length("line") > 0)
     w = Window.partitionBy(id_col, "line").orderBy("pos")
     flagged = lines.select(
         F.col(id_col),

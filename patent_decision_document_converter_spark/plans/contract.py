@@ -1171,7 +1171,8 @@ WITH ln AS (SELECT doc_id, line, pos,
                    ROW_NUMBER() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
             FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
                          unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
-                  FROM documents)),
+                  FROM documents)
+            WHERE len(line) > 0),
 ls AS (SELECT doc_id, COUNT(*) AS n_lines,
               SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dup,
               SUM(len(line)) AS line_chars,
@@ -1307,6 +1308,30 @@ ranked AS (SELECT doc_id, term, score,
            FROM scored)
 SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, CAST(score AS BIGINT) AS score
 FROM ranked WHERE rank <= 3
+"""
+
+
+def corpus_token_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget batch assignment (cumsum next-fit over length-
+    descending order, 2000-token batches)."""
+    from ..operators import corpus
+
+    out = corpus.token_batches(_t(spark, sf_dir, "documents"), budget_tokens=2000)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "batch_id",
+    )
+
+
+_TOKEN_BATCHES_SQL = f"""
+WITH c AS (SELECT doc_id, len({_SQL_WSTOKS}) AS n_tokens FROM documents)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(FLOOR(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  / 2000.0) AS BIGINT) AS batch_id
+FROM c
 """
 
 
@@ -1671,6 +1696,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "corpus_redact_pii": (corpus_redact_pii, _REDACT_SQL),
     "corpus_tfidf_top_terms": (corpus_tfidf_top_terms, _TFIDF_SQL),
     "corpus_html_main_content": (corpus_html_main_content, _HTML_MAIN_SQL),
+    "corpus_token_batches": (corpus_token_batches, _TOKEN_BATCHES_SQL),
     # multimodal plumbing
     "media_features": (media_features, _MEDIA_FEATURES_SQL),
     # conversion engine — oracle = frozen reference-JS expectations

@@ -54,6 +54,8 @@ def curate_corpus(
     min_distinct_permille: int = 200,
     keep_langs: tuple[str, ...] | None = None,
     jaccard_threshold_tenths: int = 8,
+    max_dup_line_permille: int | None = None,
+    max_top_bigram_permille: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """Run the full curation pipeline; returns (curated spans DataFrame,
     per-stage metrics dict).
@@ -65,7 +67,11 @@ def curate_corpus(
 
     The token-count gate is script-aware: spaceless CJK text tokenizes
     to very few whitespace tokens, so docs whose mean token length is
-    CJK-run-sized (≥10 chars) pass on ``min_chars`` alone."""
+    CJK-run-sized (≥10 chars) pass on ``min_chars`` alone.
+
+    ``max_dup_line_permille`` / ``max_top_bigram_permille`` enable the
+    Gopher-family repetition gates (textstats.repetition_signals) —
+    off by default; Gopher's own cut-offs are ≈300 / ≈180."""
     metrics: dict[str, int] = {"input_docs": docs.count()}
 
     converted = track(convert_documents(docs, mode=mode))
@@ -86,6 +92,16 @@ def curate_corpus(
         )
     text_q = text.join(passed_quality, "doc_id")
     metrics["after_quality"] = text_q.count()
+
+    if max_dup_line_permille is not None or max_top_bigram_permille is not None:
+        rep = textstats.repetition_signals(text_q)
+        cond = F.lit(True)
+        if max_dup_line_permille is not None:
+            cond = cond & (F.col("dup_line_permille") <= max_dup_line_permille)
+        if max_top_bigram_permille is not None:
+            cond = cond & (F.col("top_bigram_permille") <= max_top_bigram_permille)
+        text_q = text_q.join(rep.filter(cond).select("doc_id"), "doc_id")
+        metrics["after_repetition"] = text_q.count()
 
     # exact dedup: keep the canonical (min doc_id) row per content hash
     hashed = text_q.select(

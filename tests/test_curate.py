@@ -54,3 +54,26 @@ def test_curation_stages(spark):
     # curated rows are full converted span rows (schema intact)
     cols = set(curated.columns)
     assert {"doc_id", "mode", "spans", "findings", "n_spans_in", "n_spans_out"} <= cols
+
+
+def test_curate_repetition_gate(spark):
+    from patent_decision_document_converter_spark.plans.curate import curate_corpus
+    from patent_decision_document_converter_spark.sources.documents import create_documents_df
+
+    def doc(doc_id, text):
+        return {
+            "doc_id": doc_id,
+            "spans": [{"kind": "text", "text": text, "media_ref": "", "offset": 0}],
+        }
+
+    rows = [
+        doc("clean", "this document has plenty of distinct words and normal structure overall"),
+        doc("looper", "spam line here\nspam line here\nspam line here\nspam line here\nunique tail words"),
+    ]
+    df = create_documents_df(spark, rows)
+    _, m = curate_corpus(
+        df, mode="pct", min_chars=10, min_tokens=3, min_distinct_permille=100,
+        max_dup_line_permille=300,
+    )
+    assert m["after_quality"] == 2
+    assert m["after_repetition"] == 1  # looper dropped by the dup-line gate
