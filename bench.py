@@ -14,7 +14,11 @@ pipelines, broadcast star joins, windowed aggs, LSH dedup, ANN, text
 suite).  The intentionally quadratic verify ops (all-pairs cosine /
 simhash pair join on this vocabulary-degenerate corpus) are exercised at
 sf0.01 by the correctness gate instead — at 100 TB those only ever run
-per-bucket.
+per-bucket.  Note: dedup_decontaminate and dedup_shingle_overlap are
+inverted-index joins whose pair volume explodes on THIS corpus (≈100
+distinct words ⇒ near-universal shingle collisions); on a real corpus
+with k=8-13 shingles they are selective.  They stay in the bench as the
+honest worst case.
 """
 
 from __future__ import annotations

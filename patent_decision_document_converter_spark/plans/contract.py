@@ -924,6 +924,42 @@ def ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("rank").cast("long").alias("rank"), "vec_id")
 
 
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space duplicate clusters: LSH-bucketed cosine pairs →
+    connected components → every vector labeled with its cluster min
+    (singletons label themselves).  Composes the two scale primitives:
+    the self-join never leaves its LSH bucket, and the cluster assignment
+    is the same large-star/small-star used for text dedup."""
+    emb = _t(spark, sf_dir, "embeddings")
+    buckets = similarity.rp_lsh_buckets(emb, 64, n_planes=4)
+    pairs = similarity.cosine_pairs(buckets, threshold=0.425, bucket_col="bucket")
+    cc = dedup.connected_components(pairs)
+    return emb.select(F.col("vec_id").alias("doc_id")).join(cc, "doc_id", "left").select(
+        F.col("doc_id").cast("long").alias("vec_id"),
+        F.coalesce("cluster_id", F.col("doc_id")).cast("long").alias("cluster_id"),
+    )
+
+
+_EMB_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_RP_SQL},
+n AS (SELECT e.vec_id, v, bucket,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM e JOIN bucketed ON e.vec_id = bucketed.vec_id),
+prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM n a JOIN n b ON a.vec_id < b.vec_id AND a.bucket = b.bucket
+        WHERE list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= 0.425),
+cc_edges AS (SELECT id_a AS src, id_b AS dst FROM prs UNION SELECT id_b, id_a FROM prs),
+reach(node, lbl) AS (
+    SELECT src, src FROM (SELECT DISTINCT src FROM cc_edges)
+    UNION
+    SELECT x.dst, r.lbl FROM reach r JOIN cc_edges x ON r.node = x.src
+),
+comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT emb.vec_id, COALESCE(c.cluster_id, emb.vec_id) AS cluster_id
+FROM embeddings emb LEFT JOIN comp c ON emb.vec_id = c.node
+"""
+
+
 # probe set = query bucket ⊕ {0, 1, 2, 4, 8}: itself + every hamming-1
 # neighbor of the 4-plane signature
 _ANN_LSH_MP_SQL = f"""
@@ -1684,6 +1720,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_topk_lsh": (ann_topk_lsh, _ANN_LSH_SQL),
     "ann_topk_lsh_multiprobe": (ann_topk_lsh_multiprobe, _ANN_LSH_MP_SQL),
     "dedup_embedding_lsh": (dedup_embedding_lsh, _EMB_LSH_SQL),
+    "dedup_embedding_clusters": (dedup_embedding_clusters, _EMB_CLUSTERS_SQL),
     # text analysis
     "text_token_stats": (text_token_stats, _TOKEN_STATS_SQL),
     "text_lang_id": (text_lang_id, _LANG_ID_SQL),
