@@ -216,3 +216,34 @@ def run_stream_to_memory(out: DataFrame, query_name: str, output_mode: str = "up
     )
     q.awaitTermination()
     return q
+
+
+def curate_stream(
+    docs: DataFrame,
+    mode: str = "officeAction",
+    min_chars: int = 20,
+    min_distinct_permille: int = 200,
+) -> DataFrame:
+    """Streaming curation: the batch curate pipeline's stateless+dedup
+    core on a document stream — convert (same fused stage), quality-gate
+    on the extracted text (per-row expressions: trivially streamable),
+    exact-dedup across micro-batches (state store).  The cross-document
+    stages that need global state (LSH near-dup, clustering) stay batch
+    jobs over the sink — the standard lambda split for corpus curation.
+    """
+    from ..operators.textstats import ws_tokens
+    from ..plans.curate import extract_text
+
+    converted = convert_documents(docs, mode=mode)
+    clean = converted.filter(F.size("findings") == 0)
+    text = extract_text(clean).withColumn(
+        "_toks", ws_tokens("text")
+    )
+    gated = text.filter(
+        (F.length("text") >= min_chars)
+        & (
+            F.lit(1000) * F.size(F.array_distinct("_toks"))
+            >= F.lit(min_distinct_permille) * F.size("_toks")
+        )
+    ).drop("_toks")
+    return dedup_stream(gated, text_expr=F.col("text"))

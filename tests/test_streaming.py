@@ -207,3 +207,23 @@ def test_dedup_stream_within_watermark_bounds_state(spark, tmp_path_factory):
     stream_job.run_stream_to_memory(out.select("doc_id"), "wm_dedup_test", output_mode="append")
     kept = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM wm_dedup_test").collect()}
     assert kept == {1, 3}
+
+
+def test_curate_stream_gates_and_dedups(spark, tmp_path_factory):
+    """Streaming curation: quality gate + cross-batch exact dedup on a
+    document stream, convert stage shared with batch."""
+    base = str(tmp_path_factory.mktemp("curstream"))
+    rows = make_documents_rows(16, seed=33, mega_frac=0.0)
+    dupes = [{"doc_id": "dup-" + r["doc_id"], "spans": r["spans"]} for r in rows[:5]]
+    short = [{"doc_id": "tiny", "spans": [{"kind": "text", "text": "x", "media_ref": "", "offset": 0}]}]
+    create_documents_df(spark, rows + dupes + short).repartition(5).write.parquet(base + "/in")
+
+    stream = stream_job.read_documents_stream(spark, base + "/in", max_files=2)
+    out = stream_job.curate_stream(stream, mode="pct")
+    stream_job.run_stream_to_memory(out.select("doc_id"), "curate_stream_test", output_mode="append")
+    kept = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM curate_stream_test").collect()}
+    assert "tiny" not in kept  # quality gate
+    # one survivor per content (either original or dup id, whichever batch won)
+    assert len(kept) == 16
+    base_ids = {d.removeprefix("dup-") for d in kept}
+    assert base_ids == {r["doc_id"] for r in rows}
