@@ -457,7 +457,13 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage N-1's timestamp.  Self-join-free: one shuffle on user_id, the
     three stage timestamps fold left-to-right inside a per-user aggregate
     over the sorted event list (order-insensitive input → deterministic
-    fold), then a conversion-depth count."""
+    fold), then a conversion-depth count.
+
+    Scale note: collect_list bounds state by the heaviest user's event
+    count; for power-law users swap the fold for three windowed min-after
+    passes (same shuffle key, no per-user array) — shape kept here
+    because the folded form is one pass and the fixture distribution is
+    uniform."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     per_user = ev.groupBy("user_id").agg(
         F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("evs")
