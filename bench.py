@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "ann_topk_lsh_multiprobe",
     "dedup_clusters",
     "dedup_decontaminate",
+    "dedup_common_run",
     "media_features",
     "corpus_stratified_sample",
     "corpus_redact_pii",

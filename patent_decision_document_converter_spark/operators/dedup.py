@@ -28,7 +28,7 @@ so oracle value-hashes can never diverge on float rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.cachereg import track
@@ -655,4 +655,69 @@ def cross_ngram_overlap(
         .groupBy("train_id", "eval_id")
         .agg(F.count("*").alias("n_common"))
         .filter(F.col("n_common") >= min_common)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 7. span-level duplication: longest common token run per candidate pair
+# ---------------------------------------------------------------------------
+
+
+def longest_common_run(
+    df: DataFrame,
+    pairs: DataFrame,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """For each candidate pair, the length of the longest run of
+    CONSECUTIVE shared word-``shingle_k``-grams — i.e. the longest common
+    token substring has ``max_run + k - 1`` tokens.  The span-level
+    duplication signal behind substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): whole-doc Jaccard misses
+    a verbatim paragraph pasted into an otherwise-novel document; a long
+    common run catches exactly that.
+
+    Relational formulation (no suffix arrays): positional shingles
+    (pos kept, NOT distinct) for both sides of each candidate pair are
+    matched by 60-bit shingle hash; matches on one diagonal
+    ``d = pos_a - pos_b`` that are consecutive in ``pos_a`` form an
+    island (the pos_a − row_number() trick), and the answer is the
+    largest island.  Work is bounded by matched-shingle volume per
+    CANDIDATE pair — this runs after LSH, never all-pairs.
+    """
+    pos_sh = (
+        df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.when(
+                    F.size("_toks") >= shingle_k,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_toks") - (shingle_k - 1)),
+                        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, shingle_k)),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("pos", "shingle"),
+        )
+        .select(F.col(id_col), "pos", md5_long(F.col("shingle")).alias("sh_hash"))
+    )
+    a = pos_sh.alias("a").join(
+        pairs.select("id_a", "id_b").alias("p"), F.col(f"a.{id_col}") == F.col("p.id_a")
+    )
+    matched = a.join(
+        pos_sh.alias("b"),
+        (F.col(f"b.{id_col}") == F.col("p.id_b")) & (F.col("a.sh_hash") == F.col("b.sh_hash")),
+    ).select(
+        F.col("p.id_a").alias("id_a"),
+        F.col("p.id_b").alias("id_b"),
+        F.col("a.pos").alias("pos_a"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    ).distinct()
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    islands = matched.withColumn("island", F.col("pos_a") - F.row_number().over(w))
+    runs = islands.groupBy("id_a", "id_b", "diag", "island").agg(F.count("*").alias("run"))
+    return runs.groupBy("id_a", "id_b").agg(
+        F.max("run").alias("max_run"),
+        (F.max("run") + F.lit(shingle_k - 1)).alias("lcs_tokens"),
     )

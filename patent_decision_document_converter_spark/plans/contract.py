@@ -763,6 +763,47 @@ HAVING COUNT(*) >= 2
 """
 
 
+def dedup_common_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication: longest consecutive shared 3-shingle run
+    per MinHash-LSH candidate pair (lcs_tokens = max_run + 2) — the
+    substring-dedup signal of Lee et al.; runs only on candidates."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs)
+    pairs = dedup.minhash_lsh_candidates(sigs)
+    out = dedup.longest_common_run(docs, pairs, shingle_k=3)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("max_run").cast("long").alias("max_run"),
+        F.col("lcs_tokens").cast("long").alias("lcs_tokens"),
+    )
+
+
+_COMMON_RUN_SQL = f"""
+WITH {_MINHASH_CTES},
+ps AS (SELECT doc_id, pos,
+              {_SQL_H60.format(x="shingle")} AS sh_hash
+       FROM (SELECT doc_id,
+                    tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle,
+                    pos
+             FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+       WHERE shingle IS NOT NULL),
+m AS (SELECT DISTINCT p.id_a, p.id_b, a.pos AS pos_a, a.pos - b.pos AS diag
+      FROM lsh_pairs p
+      JOIN ps a ON a.doc_id = p.id_a
+      JOIN ps b ON b.doc_id = p.id_b AND a.sh_hash = b.sh_hash),
+isl AS (SELECT id_a, id_b, diag,
+               pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS island
+        FROM m),
+runs AS (SELECT id_a, id_b, diag, island, COUNT(*) AS run
+         FROM isl GROUP BY id_a, id_b, diag, island)
+SELECT id_a, id_b,
+       CAST(MAX(run) AS BIGINT) AS max_run,
+       CAST(MAX(run) + 2 AS BIGINT) AS lcs_tokens
+FROM runs GROUP BY id_a, id_b
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_fingerprints(_t(spark, sf_dir, "documents"))
 
@@ -1715,6 +1756,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_minhash_lsh": (dedup_minhash_lsh, _MINHASH_SQL),
     "dedup_clusters": (dedup_clusters, _CLUSTERS_SQL),
     "dedup_decontaminate": (dedup_decontaminate, _DECONTAM_SQL),
+    "dedup_common_run": (dedup_common_run, _COMMON_RUN_SQL),
     "dedup_shingle_overlap": (dedup_shingle_overlap, _SHINGLE_OVERLAP_SQL),
     "dedup_simhash": (dedup_simhash, _SIMHASH_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, _SIMHASH_PAIRS_SQL),

@@ -550,3 +550,23 @@ def test_repetition_signals_gopher_style(spark):
         "dup_line_char_permille": 0,
         "top_bigram_permille": 0,
     }
+
+
+def test_longest_common_run(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "x y a b c d e f z q"),   # shares the 6-token run 'a..f'
+            (3, "a b c x d e f x g h"),   # broken runs: best 'a b c' (3)
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    out = {
+        (r["id_a"], r["id_b"]): (r["max_run"], r["lcs_tokens"])
+        for r in dedup.longest_common_run(df, pairs, shingle_k=3).collect()
+    }
+    # doc1-doc2: 'a b c d e f' = 6 tokens = 4 consecutive 3-shingles
+    assert out[(1, 2)] == (4, 6)
+    # doc1-doc3: only 'a b c' / 'd e f' / 'g h' fragments -> single shingles
+    assert out[(1, 3)] == (1, 3)
