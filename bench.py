@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "events_json_extract",
     "events_funnel",
     "run_compress_orderkeys",
+    "order_value_quartiles",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_shingle_overlap",

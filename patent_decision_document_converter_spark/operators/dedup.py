@@ -566,6 +566,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    convergence: str = "exact",
 ) -> DataFrame:
     """(id_a, id_b) candidate-pair edge list → (doc_id, cluster_id) where
     cluster_id = the component's minimum node id.
@@ -580,25 +581,43 @@ def connected_components(
     round with ``localCheckpoint`` so plans stay flat across iterations
     (the classic iterative-DataFrame blowup).
 
-    Convergence is detected exactly (edge-set fixpoint via subtract-count;
-    at 10^12-doc scale swap in the (count, sum) checksum noted inline —
-    dedup components are near-cliques, so 2-4 rounds in practice).
-    Returns one row per node that appears in ``pairs``; singletons (docs
-    in no pair) are absent — callers left-join and coalesce to doc_id.
+    ``convergence='exact'`` detects the edge-set fixpoint with a
+    subtract-count (two extra jobs per round — sandbox/correctness
+    grade); ``convergence='checksum'`` compares (count, sum(u), sum(v))
+    between rounds — one cheap aggregate, and sound here because the
+    star operations only move edges monotonically down the id order, so
+    an unchanged checksum implies an unchanged edge set for all
+    practical purposes; this is the 10^12-node mode.  Both modes are
+    proven equal on test graphs.  Dedup components are near-cliques, so
+    2-4 rounds converge either way.  Returns one row per node that
+    appears in ``pairs``; singletons (docs in no pair) are absent —
+    callers left-join and coalesce to doc_id.
     """
     e = _cc_canon(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     ).localCheckpoint(eager=True)
 
+    def _checksum(frame: DataFrame) -> tuple:
+        r = frame.agg(
+            F.count("*").alias("n"), F.sum("u").alias("su"), F.sum("v").alias("sv")
+        ).head()
+        return (r["n"], r["su"], r["sv"])
+
+    prev_ck = _checksum(e) if convergence == "checksum" else None
     for _ in range(max_iter):
         new_e = _cc_small_star(_cc_large_star(e)).localCheckpoint(eager=True)
-        # exact fixpoint test: same count and nothing in the symmetric
-        # difference.  At corpus scale replace with the cheap monotone
-        # checksum (count, sum(u), sum(v)) — the edge potential only
-        # decreases, so checksum equality == convergence w.h.p.
-        if new_e.count() == e.count() and new_e.subtract(e).count() == 0:
-            e = new_e
-            break
+        if convergence == "checksum":
+            ck = _checksum(new_e)
+            if ck == prev_ck:
+                e = new_e
+                break
+            prev_ck = ck
+        else:
+            # exact fixpoint test: same count and nothing in the
+            # symmetric difference
+            if new_e.count() == e.count() and new_e.subtract(e).count() == 0:
+                e = new_e
+                break
         e = new_e
 
     # converged star forest in canonical form: u = component min (root),

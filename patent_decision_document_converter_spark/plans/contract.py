@@ -451,6 +451,52 @@ GROUP BY 1
 """
 
 
+def order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quartiles (percentile_disc semantics) of order value
+    per priority — implemented with a rank window + index filter so both
+    engines pick the IDENTICAL row: value at zero-based index
+    floor((n-1) * q / 4), ties broken by orderkey.  (Interpolating
+    percentile/quantile_cont would float-drift across engines; Spark's
+    approx_percentile wouldn't match anything by design.)"""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        _cents(F.col("o_totalprice")).alias("cents"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    ranked = orders.select(
+        "o_orderpriority",
+        "cents",
+        (F.row_number().over(w) - 1).alias("idx"),
+        F.count("*").over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    # one window pass: fan each ranked row out to the three quartile
+    # probes and keep matches (a union of three filters would recompute
+    # the window per quartile)
+    return (
+        ranked.withColumn("q", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))))
+        .filter(F.col("idx") == F.floor((F.col("n") - 1) * F.col("q") / 4))
+        .select(
+            "o_orderpriority",
+            F.col("q").cast("long").alias("quartile"),
+            F.col("cents").alias("value_cents"),
+        )
+    )
+
+
+_QUARTILES_SQL = """
+WITH r AS (SELECT o_orderpriority,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT), o_orderkey) - 1 AS idx,
+                  COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+           FROM orders)
+SELECT o_orderpriority, CAST(q AS BIGINT) AS quartile, cents AS value_cents
+FROM r CROSS JOIN (SELECT unnest([1, 2, 3]) AS q)
+WHERE idx = FLOOR((n - 1) * q / 4.0)
+"""
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel signup → click → purchase per user:
     stage N's timestamp is the EARLIEST event of that type strictly after
@@ -1744,6 +1790,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "revenue_rollup": (revenue_rollup, _ROLLUP_SQL),
     "part_brand_stats": (part_brand_stats, _PART_BRAND_SQL),
     "supplier_balance_by_nation": (supplier_balance_by_nation, _SUPPLIER_BAL_SQL),
+    "order_value_quartiles": (order_value_quartiles, _QUARTILES_SQL),
     "events_sessionize": (events_sessionize, _SESSIONIZE_SQL),
     "events_hourly": (events_hourly, _HOURLY_SQL),
     "events_json_extract": (events_json_extract, _JSON_SQL),

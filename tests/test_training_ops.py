@@ -570,3 +570,17 @@ def test_longest_common_run(spark):
     assert out[(1, 2)] == (4, 6)
     # doc1-doc3: only 'a b c' / 'd e f' / 'g h' fragments -> single shingles
     assert out[(1, 3)] == (1, 3)
+
+
+def test_connected_components_checksum_mode_agrees(spark):
+    edges = [(i, i + 1) for i in range(1, 10)] + [(50, 51), (51, 52), (70, 71)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    exact = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs, convergence="exact").collect()
+    }
+    cksum = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs, convergence="checksum").collect()
+    }
+    assert exact == cksum
