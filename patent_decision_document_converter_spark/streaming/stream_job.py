@@ -180,8 +180,6 @@ def dedup_stream(
     the realistic ingest-crawl duplication pattern).  Content key = md5
     of normalized text, same derivation as the batch
     ``operators.dedup.exact_dedup``."""
-    from ..operators.dedup import normalized_text
-
     if text_expr is None:
         text_expr = F.concat_ws(
             "\n",
