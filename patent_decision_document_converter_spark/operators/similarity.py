@@ -359,7 +359,9 @@ def kmeans_fit_assign(
     """
     from .corpus import sample_key
 
-    q = df.select(F.col(id_col), _quantize(F.col(vec_col), scale).alias("qv"))
+    # the training loop scans q once per iteration (assign + update) —
+    # cache it so quantization/IO runs once (released via cachereg)
+    q = track(df.select(F.col(id_col), _quantize(F.col(vec_col), scale).alias("qv")))
     q_train = (
         q.filter(sample_key(F.col(id_col), "kmeans") < F.lit(train_permille))
         if train_permille < 1000

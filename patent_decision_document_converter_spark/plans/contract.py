@@ -726,7 +726,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(docs)
     pairs = dedup.minhash_lsh_candidates(sigs)
-    cc = dedup.connected_components(pairs)
+    # checksum convergence: one aggregate per round instead of the
+    # count+subtract pair (same result — equality pinned by test)
+    cc = dedup.connected_components(pairs, convergence="checksum")
     return docs.select("doc_id").join(cc, "doc_id", "left").select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.coalesce("cluster_id", F.col("doc_id")).cast("long").alias("cluster_id"),
