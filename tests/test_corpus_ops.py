@@ -157,3 +157,25 @@ def test_html_strip_unclosed_blocks_linear_semantics(spark):
     assert got[1] == "A B"
     assert got[2] == "C orphan payload stays D"
     assert got[3] == "E F <!-- still open G"
+
+
+def test_token_batches_overshoot_bounded_by_one_doc(spark):
+    """Every batch's token total stays under budget + one document (the
+    cumsum next-fit guarantee), assignment is deterministic, and batches
+    are length-homogeneous (descending)."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, "w " * rng.randint(1, 400)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = corpus.token_batches(df, budget_tokens=500).collect()
+    by_batch = {}
+    for r in out:
+        by_batch.setdefault(r["batch_id"], []).append(r["n_tokens"])
+    for b, toks in by_batch.items():
+        assert sum(toks) < 500 + max(toks)
+    # deterministic under repartition
+    out2 = corpus.token_batches(df.repartition(7), budget_tokens=500).collect()
+    assert {(r["doc_id"], r["batch_id"]) for r in out} == {
+        (r["doc_id"], r["batch_id"]) for r in out2
+    }
