@@ -163,10 +163,19 @@ def ann_recall(spark: SparkSession, sf_dir: str, k: int = 10) -> dict[str, float
     return out
 
 
+def _parse_sf(sf_dir: str) -> float | None:
+    """Scale factor from a .../sf<N> directory name; None if the name
+    doesn't carry one (custom dirs must not crash the bench)."""
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    sf = _parse_sf(sf_dir)
 
     spark = get_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -182,8 +191,12 @@ def main() -> None:
     # round regressions attributable (sec_primary / sec_secondary vs the
     # 10x data ratio; slope << 10 == fixed overhead still dominates)
     sf2_dir = os.environ.get("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
-    sf2 = float(sf2_dir.rstrip("/").rsplit("sf", 1)[-1])
-    qtimes2 = run_queries(spark, sf2_dir) if os.path.isdir(sf2_dir) else {}
+    sf2 = _parse_sf(sf2_dir)
+    qtimes2 = (
+        run_queries(spark, sf2_dir)
+        if sf2 is not None and os.path.isdir(sf2_dir)
+        else {}
+    )
     slope = {
         name: round(qtimes[name] / qtimes2[name], 2)
         for name in qtimes

@@ -9,7 +9,8 @@ the session dies.
 
 Operators call :func:`track` instead of ``DataFrame.persist`` and callers
 call :func:`release_cached` once the results of a run are materialized
-(bench.py does this between queries; curate_corpus on completion).
+(bench.py and tools/check_contract.py do this between queries;
+``curate_corpus`` callers release after materializing the returned frame).
 Releasing is always safe: an unpersisted DataFrame silently recomputes
 its lineage on the next action.
 """

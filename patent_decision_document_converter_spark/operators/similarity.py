@@ -336,7 +336,8 @@ def kmeans_fit_assign(
     oracle-checkable and cluster-reproducible:
 
     * init: centroids = the quantized vectors of the ``k`` smallest ids
-      (no RNG);
+      present in the table (``orderBy(id).limit(k)`` — any id space, not
+      just dense-from-0; no RNG);
     * assignment: integer argmin of squared L2, ties to the lower cell id
       (via ``array_min`` over (dist, cid) structs — struct ordering does
       the tie-break);
@@ -369,10 +370,10 @@ def kmeans_fit_assign(
     )
     cents = [
         [int(x) for x in r["qv"]]
-        for r in q.filter(F.col(id_col) < k).orderBy(id_col).collect()
+        for r in q.orderBy(id_col).limit(k).collect()
     ]
     if len(cents) < k:
-        raise ValueError(f"need at least k={k} rows with {id_col} < k")
+        raise ValueError(f"need at least k={k} rows in {id_col}")
 
     def assign(frame: DataFrame) -> DataFrame:
         pairs = F.array(

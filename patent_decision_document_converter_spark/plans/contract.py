@@ -1093,7 +1093,10 @@ def _ivf_kmeans_sql(k: int = 8, iters: int = 2, n_probe: int = 2, dim: int = 64)
     rng = f"range(1, {dim + 1})"
     ctes = [
         f"q0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv FROM embeddings)",
-        f"c0 AS (SELECT vec_id AS cid, qv AS c FROM q0 WHERE vec_id < {k})",
+        # init = the k smallest ids PRESENT (engine: orderBy(id).limit(k));
+        # cid is the rank, matching the engine's enumerate() indexing
+        f"c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, qv AS c "
+        f"FROM (SELECT vec_id, qv FROM q0 ORDER BY vec_id LIMIT {k}))",
     ]
     prev = "c0"
     for it in range(1, iters + 1):
@@ -1496,7 +1499,7 @@ def corpus_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HTML_MAIN_SQL = '\nWITH t AS (SELECT doc_id,\n                  \'<html><head><style>p{margin:0}</style></head><body>\'\n                  || \'<nav><a href="/">Home</a> <a href="/a">Archive</a> \'\n                  || \'<a href="/c">Contact us here</a></nav><div>\'\n                  || text ||\n                  \'</div><div><a href="#">one</a> <a href="#">two three four \'\n                  || \'five six seven eight nine ten eleven twelve</a></div>\'\n                  || \'<p>Short.</p><footer>(c) 2026 BoilerCo all rights \'\n                  || \'reserved legal</footer></body></html>\' AS html\n           FROM documents),\nb AS (SELECT doc_id, raw, block_no\n      FROM (SELECT doc_id,\n                   regexp_split_to_array(html, \'(?i)</(?:p|div|section|article|li|h[1-6])>|<br[^>]*>\') AS parts\n            FROM t),\n           LATERAL (SELECT unnest(parts) AS raw, unnest(range(1, len(parts) + 1)) AS block_no)),\nstrip AS (SELECT doc_id, block_no,\n                 trim(regexp_replace(\n                   replace(replace(replace(replace(replace(\n                     regexp_replace(\n                       regexp_replace(\n                         regexp_replace(raw,\n                           \'(?s)<(script|style|nav|header|footer|aside)[^>]*>.*?</(script|style|nav|header|footer|aside)>\', \' \', \'g\'),\n                         \'(?s)<!--.*?-->\', \' \', \'g\'),\n                       \'<[^>]+>\', \' \', \'g\'),\n                   \'&lt;\', \'<\'), \'&gt;\', \'>\'), \'&quot;\', \'"\'), \'&#39;\', \'\'\'\'), \'&amp;\', \'&\'),\n                   \'[ \\t\\n\\x0b\\f\\r]+\', \' \', \'g\')) AS btext,\n                 trim(regexp_replace(\n                   replace(replace(replace(replace(replace(\n                     regexp_replace(\n                       regexp_replace(\n                         regexp_replace(array_to_string(regexp_extract_all(raw, \'(?s)<a[^>]*>(.*?)</a>\', 1), \' \'),\n                           \'(?s)<(script|style|nav|header|footer|aside)[^>]*>.*?</(script|style|nav|header|footer|aside)>\', \' \', \'g\'),\n                         \'(?s)<!--.*?-->\', \' \', \'g\'),\n                       \'<[^>]+>\', \' \', \'g\'),\n                   \'&lt;\', \'<\'), \'&gt;\', \'>\'), \'&quot;\', \'"\'), \'&#39;\', \'\'\'\'), \'&amp;\', \'&\'),\n                   \'[ \\t\\n\\x0b\\f\\r]+\', \' \', \'g\')) AS ltext\n          FROM b),\nkept AS (SELECT doc_id, block_no, btext FROM strip\n         WHERE len(btext) >= 40 AND 1000 * len(ltext) <= 500 * len(btext))\nSELECT doc_id,\n       md5(string_agg(btext, chr(10) ORDER BY block_no)) AS main_md5,\n       CAST(len(string_agg(btext, chr(10) ORDER BY block_no)) AS BIGINT) AS main_len,\n       COUNT(*) AS n_blocks_kept\nFROM kept GROUP BY doc_id\n'
+_HTML_MAIN_SQL = '\nWITH t AS (SELECT doc_id,\n                  \'<html><head><style>p{margin:0}</style></head><body>\'\n                  || \'<nav><a href="/">Home</a> <a href="/a">Archive</a> \'\n                  || \'<a href="/c">Contact us here</a></nav><div>\'\n                  || text ||\n                  \'</div><div><a href="#">one</a> <a href="#">two three four \'\n                  || \'five six seven eight nine ten eleven twelve</a></div>\'\n                  || \'<p>Short.</p><footer>(c) 2026 BoilerCo all rights \'\n                  || \'reserved legal</footer></body></html>\' AS html\n           FROM documents),\nb AS (SELECT doc_id, raw, block_no\n      FROM (SELECT doc_id,\n                   regexp_split_to_array(html, \'(?i)</(?:p|div|section|article|li|h[1-6])>|<br[^>]*>\') AS parts\n            FROM t),\n           LATERAL (SELECT unnest(parts) AS raw, unnest(range(1, len(parts) + 1)) AS block_no)),\nstrip AS (SELECT doc_id, block_no,\n                 trim(regexp_replace(\n                   replace(replace(replace(replace(replace(\n                     regexp_replace(\n                       regexp_replace(\n                         regexp_replace(raw,\n                           \'(?is)<(script|style|nav|header|footer|aside)[^>]*>.*?</(script|style|nav|header|footer|aside)>\', \' \', \'g\'),\n                         \'(?s)<!--.*?-->\', \' \', \'g\'),\n                       \'<[^>]+>\', \' \', \'g\'),\n                   \'&lt;\', \'<\'), \'&gt;\', \'>\'), \'&quot;\', \'"\'), \'&#39;\', \'\'\'\'), \'&amp;\', \'&\'),\n                   \'[ \\t\\n\\x0b\\f\\r]+\', \' \', \'g\')) AS btext,\n                 trim(regexp_replace(\n                   replace(replace(replace(replace(replace(\n                     regexp_replace(\n                       regexp_replace(\n                         regexp_replace(array_to_string(regexp_extract_all(raw, \'(?is)<a[^>]*>(.*?)</a>\', 1), \' \'),\n                           \'(?is)<(script|style|nav|header|footer|aside)[^>]*>.*?</(script|style|nav|header|footer|aside)>\', \' \', \'g\'),\n                         \'(?s)<!--.*?-->\', \' \', \'g\'),\n                       \'<[^>]+>\', \' \', \'g\'),\n                   \'&lt;\', \'<\'), \'&gt;\', \'>\'), \'&quot;\', \'"\'), \'&#39;\', \'\'\'\'), \'&amp;\', \'&\'),\n                   \'[ \\t\\n\\x0b\\f\\r]+\', \' \', \'g\')) AS ltext\n          FROM b),\nkept AS (SELECT doc_id, block_no, btext FROM strip\n         WHERE len(btext) >= 40 AND 1000 * len(ltext) <= 500 * len(btext))\nSELECT doc_id,\n       md5(string_agg(btext, chr(10) ORDER BY block_no)) AS main_md5,\n       CAST(len(string_agg(btext, chr(10) ORDER BY block_no)) AS BIGINT) AS main_len,\n       COUNT(*) AS n_blocks_kept\nFROM kept GROUP BY doc_id\n'
 
 
 # ---------------------------------------------------------------------------

@@ -97,6 +97,10 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    from patent_decision_document_converter_spark.functions.cachereg import (
+        release_cached,
+    )
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
@@ -112,6 +116,11 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
+        finally:
+            # drop operator-persisted intermediates (band tables, normed
+            # vectors, quantized k-means frames) between queries — the
+            # full sweep otherwise accumulates them in executor storage
+            release_cached()
         if name not in oracles:
             print(f"okNR {name}: rows={len(srows)} (rows-only, {time.time()-t0:.1f}s)")
             continue
