@@ -15,8 +15,10 @@ Scale design notes (local[32] correctness, 1000-executor intent):
   groupBy).  LSH banding then joins on (band_id, band_hash) — the only
   shuffle, on a short composite key; at 100 TB you bucket the band table.
 * ``simhash_fingerprints`` — likewise per-row via nested ``aggregate``;
-  candidate pairs join on an 8-bit band of the fingerprint (4 buckets per
-  doc) so the self-join never goes quadratic.
+  two independent 60-bit hash words (120-bit fingerprint) let the
+  candidate join band at up to 30 bits per band, so collision groups
+  stay small (n / 2^30) and the self-join never goes quadratic even at
+  the 10^12-doc extreme.
 * ``ngram_jaccard_pairs`` — the shuffle-heavy exact verify; at scale you run
   it ONLY on LSH candidates (pass ``candidates=``), never all-pairs.
 * All hashes are md5-derived (``functions.hashing``) so results are
@@ -380,28 +382,53 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _simhash_word_prefix(w: int) -> str:
+    """Token-salt prefix for hash word ``w``: word 0 hashes the bare token
+    (md5_long convention, backward compatible), word w>0 hashes
+    ``'w{w+1}:' || token`` — an independent md5 stream per word."""
+    return "" if w == 0 else f"w{w + 1}:"
+
+
+def _fp_col(w: int) -> str:
+    return "fingerprint" if w == 0 else f"fingerprint{w + 1}"
+
+
 def simhash_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 60,
     impl: str = "pandas",
+    words: int = 2,
 ) -> DataFrame:
-    """60-bit SimHash per doc over distinct unigram tokens.
+    """``words``×60-bit SimHash per doc over distinct unigram tokens
+    (default 2 words = a 120-bit fingerprint).
 
-    fp bit b = sign( sum over tokens of (+1 if bit b of md5_long(tok) else -1) )
+    word-w fp bit b = sign( sum over tokens of
+        (+1 if bit b of md5_long(prefix_w || tok) else -1) )
+
+    where prefix_0 = '' (the original 60-bit word, backward compatible)
+    and prefix_1 = 'w2:' — two independent md5 streams.  Output columns:
+    ``fingerprint`` (word 0) and ``fingerprint2`` (word 1, when
+    words=2).  Each word stays < 2^60 (first 15 md5 hex digits — the
+    md5_long convention: portable bigint, no sign issues).
+
+    WHY two words: near-dup banding group sizes scale as
+    n / 2^band_bits and the per-group join work is quadratic, so band
+    width must track log2(n).  A single 60-bit word caps band_bits at
+    15 (4 bands) — fine to ~10^10 docs; the second word lets
+    :func:`simhash_near_dups` band at up to 30 bits (10^9 values/band),
+    which holds the group-size math to 10^12 docs.
 
     ``impl='pandas'`` (default): hashlib-backed Arrow-batched twin —
     byte-identical fingerprints, ~100x cheaper per hash than the
-    interpreted expression path.  ``impl='expr'``: one nested
-    ``aggregate`` expression per row — zero Python, the
-    oracle-transparent form.  60 bits (first 15 md5 hex digits, the
-    md5_long convention) keeps the fingerprint portable (fits bigint,
-    no sign issues) while giving the near-dup banding enough band
-    width to survive corpus scale (see :func:`simhash_near_dups`).
+    interpreted expression path.  ``impl='expr'``: nested ``aggregate``
+    expressions — zero Python, the oracle-transparent form.
     """
+    if words not in (1, 2):
+        raise ValueError("words must be 1 or 2")
     if impl == "pandas":
-        return _simhash_fingerprints_pandas(df, id_col, text_col, bits)
+        return _simhash_fingerprints_pandas(df, id_col, text_col, bits, words)
     # NULL text folds to "" (the pandas twin's semantics) — without the
     # coalesce the whole expression is NULL and the row's fingerprint
     # silently diverges between the two impls
@@ -409,29 +436,43 @@ def simhash_fingerprints(
         F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " "))
     )
     toks = F.array_distinct(F.split(norm, " "))
-    hashes = F.transform(
-        toks,
-        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
-    )
+
+    def hashes(w: int) -> Column:
+        pre = _simhash_word_prefix(w)
+        return F.transform(
+            toks,
+            lambda t: F.conv(
+                F.substring(F.md5(F.concat(F.lit(pre), t)), 1, 15), 16, 10
+            ).cast("long"),
+        )
+
     # shift-by-column isn't exposed in the Python DSL — SQL lambda form
-    # (same Catalyst HigherOrderFunction either way)
-    fp_expr = f"""
+    # (same Catalyst HigherOrderFunction either way).  The per-token hash
+    # arrays are materialized in their own projection first (interpreted-
+    # HOF pitfall: the lambda body re-evaluates per element).
+    def fp_expr(hs_col: str) -> str:
+        return f"""
         aggregate(sequence(0, {bits - 1}),
                   cast(0 as bigint),
                   (acc, b) -> acc + (CASE WHEN
-                      aggregate(_hs, cast(0 as bigint),
+                      aggregate({hs_col}, cast(0 as bigint),
                                 (s, h) -> s + (CASE WHEN shiftright(h, b) % 2 = 1
                                                THEN 1 ELSE -1 END)) > 0
                       THEN shiftleft(cast(1 as bigint), b)
                       ELSE cast(0 as bigint) END))
     """
-    return df.select(F.col(id_col), hashes.alias("_hs")).select(
-        F.col(id_col), F.expr(fp_expr).alias("fingerprint")
+
+    hashed = df.select(
+        F.col(id_col), *[hashes(w).alias(f"_hs{w}") for w in range(words)]
+    )
+    return hashed.select(
+        F.col(id_col),
+        *[F.expr(fp_expr(f"_hs{w}")).alias(_fp_col(w)) for w in range(words)],
     )
 
 
 def _simhash_fingerprints_pandas(
-    df: DataFrame, id_col: str, text_col: str, bits: int
+    df: DataFrame, id_col: str, text_col: str, bits: int, words: int = 2
 ) -> DataFrame:
     """hashlib twin of the expr SimHash (same md5-derived bits)."""
     import re as _re
@@ -439,8 +480,10 @@ def _simhash_fingerprints_pandas(
     from pyspark.sql.types import LongType, StructField, StructType
 
     ws_re = _re.compile(r"[ \t\n\x0b\x0c\r]+")
+    prefixes = [_simhash_word_prefix(w).encode() for w in range(words)]
+    fp_cols = [_fp_col(w) for w in range(words)]
     out_schema = StructType(
-        [df.schema[id_col], StructField("fingerprint", LongType(), True)]
+        [df.schema[id_col]] + [StructField(c, LongType(), True) for c in fp_cols]
     )
 
     def run(batches):
@@ -449,59 +492,88 @@ def _simhash_fingerprints_pandas(
         import pandas as pd
 
         for pdf in batches:
-            ids, fps = [], []
+            ids = []
+            fps: list[list[int]] = [[] for _ in range(words)]
             for i, text in zip(pdf[id_col], pdf[text_col]):
                 norm = ws_re.sub(" ", "" if text is None else str(text)).strip(" ").lower()
                 toks = set(norm.split(" "))
-                sums = [0] * bits
-                for t in toks:
-                    h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                for w, pre in enumerate(prefixes):
+                    sums = [0] * bits
+                    for t in toks:
+                        h = int(hashlib.md5(pre + t.encode()).hexdigest()[:15], 16)
+                        for b in range(bits):
+                            sums[b] += 1 if (h >> b) & 1 else -1
+                    fp = 0
                     for b in range(bits):
-                        sums[b] += 1 if (h >> b) & 1 else -1
-                fp = 0
-                for b in range(bits):
-                    if sums[b] > 0:
-                        fp |= 1 << b
+                        if sums[b] > 0:
+                            fp |= 1 << b
+                    fps[w].append(fp)
                 ids.append(i)
-                fps.append(fp)
-            yield pd.DataFrame({id_col: ids, "fingerprint": fps})
+            yield pd.DataFrame({id_col: ids, **dict(zip(fp_cols, fps))})
 
     return df.select(id_col, text_col).mapInPandas(run, out_schema)
 
 
 def simhash_near_dups(
-    fps: DataFrame, id_col: str = "doc_id", max_hamming: int = 6, bits: int = 60, band_bits: int = 15
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 12,
+    bits: int = 60,
+    band_bits: int = 30,
 ) -> DataFrame:
-    """Near-dup pairs with hamming(fp_a, fp_b) <= max_hamming.
+    """Near-dup pairs with hamming(fp_a, fp_b) <= max_hamming, where the
+    hamming distance spans ALL fingerprint words present (120 bits with
+    the default 2-word fingerprints; the default max_hamming=12 is the
+    same 10% relative threshold the old 6-of-60 was).
 
-    Pigeonhole banding: split the 60-bit fingerprint into 4 bands of 15
-    bits and join on (band_id, band value).  Any pair with hamming ≤ 3 is
-    guaranteed caught (4 bands, ≤3 differing bits ⇒ at least one band is
-    identical); pairs with hamming 4..max_hamming are caught when their
-    differing bits don't spread across all 4 bands — the standard
-    LSH-recall trade-off at corpus scale (raise band count for recall).
+    Pigeonhole banding: the fingerprint words are split into
+    ``words * (bits // band_bits)`` bands of ``band_bits`` bits and the
+    self-join keys on (band_id, band value).  With the defaults — 2
+    words × 60 bits at band_bits=30 — that is 4 bands of 30 bits: any
+    pair with hamming ≤ 3 is guaranteed caught (≤3 differing bits over 4
+    bands ⇒ one band identical); larger hammings are caught when their
+    differing bits don't touch every band — the standard LSH-recall
+    trade-off (lower band_bits ⇒ more bands ⇒ more recall AND smaller
+    collision-group keys — tune per corpus size).
 
-    Scale: the join key is (band_id, 15-bit value) — 32,768 distinct
-    values per band, vs 256 with the naive 32-bit/8-bit parameterization
-    whose collision groups grow as n/256 and turn the self-join quadratic
-    at corpus scale.  For 10^12 docs, go wider still (band_bits 20-30 via
-    a 2nd hash word) and/or pre-cluster by exact-dup key first; group
-    sizes scale as n / 2^band_bits and the per-group work is quadratic,
-    so band width must track log2(n) (PLANS.md §simhash).
+    Scale: collision groups per band value scale as n / 2^band_bits and
+    the within-group join is quadratic, so band width must track
+    log2(n): band_bits=15 (the single-word maximum) holds to ~10^10
+    docs; band_bits=30 gives 1.07e9 values per band — group size ~930
+    at 10^12 docs, keeping the self-join linear-ish at the extreme
+    scale the 10^12-doc north rule names.  ``band_bits`` must divide
+    ``bits``; it may only exceed 15 when the fingerprint frame carries
+    the second word (``fingerprint2``).
     """
-    n_bands = bits // band_bits
-    bands_expr = (
-        f"transform(sequence(0, {n_bands - 1}), "
-        f"b -> shiftright(fingerprint, b * {band_bits}) % {1 << band_bits})"
-    )
+    if bits % band_bits != 0:
+        raise ValueError(f"band_bits={band_bits} must divide bits={bits}")
+    words = 2 if "fingerprint2" in fps.columns else 1
+    bpw = bits // band_bits
+    n_bands = words * bpw
+    mask = (1 << band_bits) - 1
+    per_word = [
+        f"shiftright({_fp_col(w)}, ((b - {w * bpw}) * {band_bits})) & {mask}"
+        for w in range(words)
+    ]
+    if words == 1:
+        val = per_word[0]
+    else:
+        val = f"CASE WHEN b < {bpw} THEN {per_word[0]} ELSE {per_word[1]} END"
+    bands_expr = f"transform(sequence(0, {n_bands - 1}), b -> {val})"
+    fp_cols = [_fp_col(w) for w in range(words)]
     banded = fps.select(
         F.col(id_col),
-        F.col("fingerprint"),
+        *[F.col(c) for c in fp_cols],
         F.posexplode(F.expr(bands_expr)).alias("band_id", "band_val"),
     )
     banded = track(banded)  # one fingerprint pass feeds both self-join sides
     a = banded.alias("a")
     b = banded.alias("b")
+    hamming = F.bit_count(F.col("a.fingerprint").bitwiseXOR(F.col("b.fingerprint")))
+    if words == 2:
+        hamming = hamming + F.bit_count(
+            F.col("a.fingerprint2").bitwiseXOR(F.col("b.fingerprint2"))
+        )
     return (
         a.join(
             b,
@@ -512,7 +584,7 @@ def simhash_near_dups(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(F.col("a.fingerprint").bitwiseXOR(F.col("b.fingerprint"))).alias("hamming"),
+            hamming.alias("hamming"),
         )
         # filter BEFORE distinct: the hamming test is a per-row expression,
         # the distinct is a shuffle — dropping far pairs first shrinks the

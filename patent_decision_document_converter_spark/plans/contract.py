@@ -853,48 +853,59 @@ FROM runs GROUP BY id_a, id_b
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """120-bit (2×60-bit-word) SimHash fingerprints — the band-width
+    extension that holds the near-dup banding math to 10^12 docs."""
     return dedup.simhash_fingerprints(_t(spark, sf_dir, "documents"))
 
 
-_SIMHASH_SQL = f"""
-WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks
+# shared CTE chain: both 60-bit fingerprint words (word 0 = md5(tok),
+# word 1 = md5('w2:' || tok) — independent md5 streams)
+_SIMHASH_FP_CTES = f"""
+t AS (SELECT doc_id, {_SQL_TOKS} AS toks
            FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents)),
 tk AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t),
-th AS (SELECT doc_id, {_SQL_H60.format(x="tok")} AS h FROM tk),
+th AS (SELECT doc_id, {_SQL_H60.format(x="tok")} AS h,
+               {_SQL_H60.format(x="'w2:' || tok")} AS h2 FROM tk),
 bits AS (SELECT doc_id, b,
-                SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-         FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) GROUP BY doc_id, b)
-SELECT doc_id,
-       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS fingerprint
-FROM bits GROUP BY doc_id
+                SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s,
+                SUM(CASE WHEN (h2 >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s2
+         FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) GROUP BY doc_id, b),
+fp AS (SELECT doc_id,
+              CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS fingerprint,
+              CAST(SUM(CASE WHEN s2 > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS fingerprint2
+       FROM bits GROUP BY doc_id)
+"""
+
+_SIMHASH_SQL = f"""
+WITH {_SIMHASH_FP_CTES}
+SELECT doc_id, fingerprint, fingerprint2 FROM fp
 """
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs over the 120-bit fingerprint: 4 bands of 30 bits
+    (vs r2's 4×15 over one word), hamming over all 120 bits,
+    max_hamming=12 (the same 10% relative threshold as the old 6/60)."""
     fps = dedup.simhash_fingerprints(_t(spark, sf_dir, "documents"))
     out = dedup.simhash_near_dups(fps)
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 _SIMHASH_PAIRS_SQL = f"""
-WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks
-           FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents)),
-tk AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t),
-th AS (SELECT doc_id, {_SQL_H60.format(x="tok")} AS h FROM tk),
-bits AS (SELECT doc_id, b,
-                SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-         FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) GROUP BY doc_id, b),
-fp AS (SELECT doc_id,
-              CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS fingerprint
-       FROM bits GROUP BY doc_id),
-band AS (SELECT doc_id, fingerprint, b AS band_id,
-                (fingerprint >> CAST(b * 15 AS INTEGER)) & 32767 AS band_val
+WITH {_SIMHASH_FP_CTES},
+band AS (SELECT doc_id, fingerprint, fingerprint2, b AS band_id,
+                CASE WHEN b < 2
+                     THEN (fingerprint >> CAST(b * 30 AS INTEGER)) & 1073741823
+                     ELSE (fingerprint2 >> CAST((b - 2) * 30 AS INTEGER)) & 1073741823
+                END AS band_val
          FROM fp CROSS JOIN (SELECT unnest(range(4)) AS b))
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS BIGINT) AS hamming
+       CAST(bit_count(xor(a.fingerprint, b.fingerprint))
+            + bit_count(xor(a.fingerprint2, b.fingerprint2)) AS BIGINT) AS hamming
 FROM band a JOIN band b
   ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 6
+WHERE bit_count(xor(a.fingerprint, b.fingerprint))
+      + bit_count(xor(a.fingerprint2, b.fingerprint2)) <= 12
 """
 
 

@@ -121,16 +121,49 @@ def test_ngram_jaccard_exact_values(docs):
 
 
 def test_simhash_fingerprints_and_pairs(docs):
-    fps = {r["doc_id"]: r["fingerprint"] for r in dedup.simhash_fingerprints(docs).collect()}
+    rows = {r["doc_id"]: r for r in dedup.simhash_fingerprints(docs).collect()}
+    fps = {k: r["fingerprint"] for k, r in rows.items()}
+    fps2 = {k: r["fingerprint2"] for k, r in rows.items()}
     assert fps[1] == fps[2] == fps[3]  # same distinct-token set
-    assert 0 <= fps[1] < (1 << 60)
+    assert fps2[1] == fps2[2] == fps2[3]
+    assert 0 <= fps[1] < (1 << 60) and 0 <= fps2[1] < (1 << 60)
+    assert fps[1] != fps2[1]  # independent md5 streams
+    fpdf = dedup.simhash_fingerprints(docs)
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
-        for r in dedup.simhash_near_dups(dedup.simhash_fingerprints(docs)).collect()
+        for r in dedup.simhash_near_dups(fpdf).collect()
     }
     assert pairs[(1, 2)] == 0
-    # near-dup doc 4 should be within small hamming of doc 1
-    assert pairs.get((1, 4), 99) <= 6
+    # doc 4 (1 of 9 tokens changed) lands at hamming 17/120 — above the
+    # default 10% gate, as it should be for an 11% token change on a
+    # tiny doc; a narrower banding (24 bands of 5 bits ⇒ guaranteed
+    # recall to hamming 23) with a looser threshold must catch it
+    loose = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_dups(fpdf, max_hamming=20, band_bits=5).collect()
+    }
+    assert loose[(1, 4)] == 17
+
+
+def test_simhash_band_width_equivalence(spark):
+    """Pigeonhole guarantee: at max_hamming <= n_bands - 1, EVERY
+    qualifying pair is caught regardless of band width — so 15-bit
+    banding (8 bands over 120 bits) and 30-bit banding (4 bands) must
+    return the identical pair set.  This pins the wide-band extension
+    against the narrow parameterization it replaces."""
+    td = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fps = dedup.simhash_fingerprints(td).persist()
+    wide = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_dups(fps, max_hamming=3, band_bits=30).collect()
+    }
+    narrow = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_dups(fps, max_hamming=3, band_bits=15).collect()
+    }
+    fps.unpersist()
+    assert wide == narrow
+    assert all(h <= 3 for h in wide.values())
 
 
 def test_simhash_pandas_expr_parity(spark, docs):
@@ -149,23 +182,24 @@ def test_simhash_pandas_expr_parity(spark, docs):
 
 
 def test_simhash_matches_python_oracle(docs):
-    """Bit-exact python re-implementation of the fingerprint."""
-    rows = {r["doc_id"]: r["fingerprint"] for r in dedup.simhash_fingerprints(docs).collect()}
+    """Bit-exact python re-implementation of both fingerprint words."""
+    rows = {r["doc_id"]: r for r in dedup.simhash_fingerprints(docs).collect()}
     texts = dict(docs.collect())
     for doc_id, text in texts.items():
         toks = []
         for t in " ".join(text.split()).lower().split(" "):
             if t not in toks:
                 toks.append(t)
-        fp = 0
-        for b in range(60):
-            s = 0
-            for t in toks:
-                h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
-                s += 1 if (h >> b) & 1 else -1
-            if s > 0:
-                fp |= 1 << b
-        assert rows[doc_id] == fp, doc_id
+        for col, pre in (("fingerprint", b""), ("fingerprint2", b"w2:")):
+            fp = 0
+            for b in range(60):
+                s = 0
+                for t in toks:
+                    h = int(hashlib.md5(pre + t.encode()).hexdigest()[:15], 16)
+                    s += 1 if (h >> b) & 1 else -1
+                if s > 0:
+                    fp |= 1 << b
+            assert rows[doc_id][col] == fp, (doc_id, col)
 
 
 # ---------------------------------------------------------------------------
