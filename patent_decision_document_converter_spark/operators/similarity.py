@@ -320,6 +320,39 @@ def _sq_dist_to(lit_centroid: list[int]) -> "callable":
     return d
 
 
+def _assign_cells_join(
+    frame: DataFrame, cents: list[list[int]], id_col: str
+) -> DataFrame:
+    """Distributed-centroid assignment: centroids as a (cid, cv)
+    DataFrame, broadcast cross-join against the vectors, per-vector
+    argmin via min(struct(dist, cid)) — ties to the lower cell id,
+    IDENTICAL row semantics to the unrolled-expression path.
+
+    This is the k≫10^3 shape: the per-row expression tree stays O(1) in
+    k (the unrolled form embeds k struct literals per row and its plan
+    does not survive k~10^6 cells); cost is one broadcast of k×dim ints
+    plus a groupBy on the id — the same plan pyspark.ml's KMeansModel
+    transform uses.  The groupBy keys on ``id_col`` alone (input_hint:
+    ids are unique), so the argmin is a map-side-combinable aggregation.
+    """
+    spark = frame.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], schema="cid int, cv array<bigint>"
+    )
+    d = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        frame.select(F.col(id_col), "qv")
+        .crossJoin(F.broadcast(cdf))
+        .groupBy(id_col)
+        .agg(F.min(F.struct(d.alias("d"), F.col("cid").alias("cid")))["cid"].cast("int").alias("cell"))
+    )
+    return frame.join(best, id_col)
+
+
 def kmeans_fit_assign(
     df: DataFrame,
     k: int = 8,
@@ -328,6 +361,7 @@ def kmeans_fit_assign(
     vec_col: str = "embedding",
     scale: int = 1000,
     train_permille: int = 1000,
+    assign_impl: str = "expr",
 ) -> tuple[DataFrame, list[list[int]]]:
     """Lloyd's k-means over integer-quantized vectors; returns
     (df + ``cell`` column, final centroids as integer lists).
@@ -353,12 +387,24 @@ def kmeans_fit_assign(
     the trained model is reproducible under any partitioning) while the
     final assignment still covers every row — the standard
     train-on-a-sample / assign-everything split that makes k-means
-    tractable at 10^9+ vectors.  At 10^6 cells you'd additionally keep
-    the centroid table distributed and broadcast-join the assignment —
-    same plan shape per iteration (pyspark.ml.KMeans does exactly this);
-    this implementation trades that for bit-exact replayability.
+    tractable at 10^9+ vectors.
+
+    ``assign_impl`` picks the assignment plan (both bit-identical,
+    proven row-equal in tests/test_training_ops.py):
+
+    * ``'expr'`` (default) — centroids unrolled into one array_min
+      expression per row: zero extra shuffle, whole-stage friendly,
+      right for k up to ~10^3;
+    * ``'join'`` — centroids as a broadcast DataFrame + per-vector
+      argmin aggregation (:func:`_assign_cells_join`): the k≫10^3
+      shape (a 10^6-cell IVF build), where unrolling k struct literals
+      per row would blow the expression tree.  Costs one groupBy on the
+      id per assignment pass.
     """
     from .corpus import sample_key
+
+    if assign_impl not in ("expr", "join"):
+        raise ValueError("assign_impl must be 'expr' or 'join'")
 
     # the training loop scans q once per iteration (assign + update) —
     # cache it so quantization/IO runs once (released via cachereg)
@@ -376,6 +422,8 @@ def kmeans_fit_assign(
         raise ValueError(f"need at least k={k} rows in {id_col}")
 
     def assign(frame: DataFrame) -> DataFrame:
+        if assign_impl == "join":
+            return _assign_cells_join(frame, cents, id_col)
         pairs = F.array(
             *[
                 F.struct(_sq_dist_to(c)(F.col("qv")).alias("d"), F.lit(i).alias("cid"))
@@ -420,15 +468,20 @@ def ann_topk_ivf_kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    assign_impl: str = "expr",
 ) -> DataFrame:
     """IVF ANN over LEARNED (k-means) cells: train deterministic integer
     k-means, probe the ``n_probe`` cells whose centroids are nearest the
     query (integer L2, ties to lower cell id), brute-force cosine only
     inside those cells.  Same probe/search shape as :func:`ivf_topk` but
-    with data-driven cells instead of the label stand-in."""
+    with data-driven cells instead of the label stand-in.
+    ``assign_impl='join'`` switches the cell assignment to the
+    distributed-centroid broadcast-join plan (see kmeans_fit_assign)."""
     import math
 
-    assigned, cents = kmeans_fit_assign(df, n_cells, iters, id_col, vec_col, scale)
+    assigned, cents = kmeans_fit_assign(
+        df, n_cells, iters, id_col, vec_col, scale, assign_impl=assign_impl
+    )
     # round half away from zero — Spark's round()/DuckDB's round(), NOT
     # Python round()'s banker's rounding
     qq = [

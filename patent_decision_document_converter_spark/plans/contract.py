@@ -1095,6 +1095,19 @@ def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("rank").cast("long").alias("rank"), "vec_id")
 
 
+def ann_topk_ivf_kmeans_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed-centroid (broadcast-join) assignment variant —
+    the k≫10^3 plan shape — gated against the SAME unrolled-Lloyd
+    oracle as the expression variant: both must land on identical
+    cells, probes, and final top-k."""
+    q = _query_vec(spark, sf_dir, 0)
+    out = similarity.ann_topk_ivf_kmeans(
+        _t(spark, sf_dir, "embeddings"), q, k=10, n_cells=8, n_probe=2, iters=2,
+        assign_impl="join",
+    )
+    return out.select(F.col("rank").cast("long").alias("rank"), "vec_id")
+
+
 def _ivf_kmeans_sql(k: int = 8, iters: int = 2, n_probe: int = 2, dim: int = 64) -> str:
     """Generate the unrolled-Lloyd oracle: because the engine's k-means is
     integer-quantized (order-independent sums, exact floor-division means),
@@ -1828,6 +1841,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_topk_bruteforce": (ann_topk_bruteforce, _ANN_BF_SQL),
     "ann_topk_ivf": (ann_topk_ivf, _ANN_IVF_SQL),
     "ann_topk_ivf_kmeans": (ann_topk_ivf_kmeans, _ANN_IVF_KMEANS_SQL),
+    "ann_topk_ivf_kmeans_join": (ann_topk_ivf_kmeans_join, _ANN_IVF_KMEANS_SQL),
     "ann_topk_lsh": (ann_topk_lsh, _ANN_LSH_SQL),
     "ann_topk_lsh_multiprobe": (ann_topk_lsh_multiprobe, _ANN_LSH_MP_SQL),
     "dedup_embedding_lsh": (dedup_embedding_lsh, _EMB_LSH_SQL),

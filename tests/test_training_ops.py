@@ -492,6 +492,19 @@ def test_kmeans_ivf_deterministic_and_sane(vectors):
     assert got and got[0] == 0  # query's own vector leads its probed cell
 
 
+def test_kmeans_assign_join_matches_expr(vectors):
+    """The distributed-centroid (broadcast-join) assignment must be
+    row-identical to the unrolled-expression path: same centroids, same
+    cell per vector, same tie-breaking (min (dist, cid) struct)."""
+    df, rows = vectors
+    a_expr, c_expr = similarity.kmeans_fit_assign(df, k=3, iters=2, assign_impl="expr")
+    a_join, c_join = similarity.kmeans_fit_assign(df, k=3, iters=2, assign_impl="join")
+    assert c_expr == c_join  # training replays identically either way
+    m_expr = {r["vec_id"]: r["cell"] for r in a_expr.collect()}
+    m_join = {r["vec_id"]: r["cell"] for r in a_join.collect()}
+    assert m_expr == m_join
+
+
 def test_multiprobe_probe_set_is_scan_filter(vectors):
     """Multi-probe candidates come from ONE scan with an IN filter — no
     shuffle, no join against a probe table."""
