@@ -754,28 +754,26 @@ def cross_ngram_overlap(
 # ---------------------------------------------------------------------------
 
 
-def longest_common_run(
+def _diagonal_runs(
     df: DataFrame,
     pairs: DataFrame,
-    shingle_k: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+    shingle_k: int,
+    id_col: str,
+    text_col: str,
 ) -> DataFrame:
-    """For each candidate pair, the length of the longest run of
-    CONSECUTIVE shared word-``shingle_k``-grams — i.e. the longest common
-    token substring has ``max_run + k - 1`` tokens.  The span-level
-    duplication signal behind substring dedup (Lee et al., "Deduplicating
-    Training Data Makes Language Models Better"): whole-doc Jaccard misses
-    a verbatim paragraph pasted into an otherwise-novel document; a long
-    common run catches exactly that.
+    """Shared island plan behind :func:`longest_common_run` and
+    :func:`remove_common_runs`: per candidate pair, every maximal run of
+    consecutive shared positional shingles, as
+    (id_a, id_b, diag, island, run, start_a) — ``start_a`` is the run's
+    first shingle position in doc a (0-based), ``start_a - diag`` the
+    same in doc b.
 
-    Relational formulation (no suffix arrays): positional shingles
-    (pos kept, NOT distinct) for both sides of each candidate pair are
+    Positional shingles (pos kept, NOT distinct) for both sides are
     matched by 60-bit shingle hash; matches on one diagonal
     ``d = pos_a - pos_b`` that are consecutive in ``pos_a`` form an
-    island (the pos_a − row_number() trick), and the answer is the
-    largest island.  Work is bounded by matched-shingle volume per
-    CANDIDATE pair — this runs after LSH, never all-pairs.
+    island (the pos_a − row_number() trick).  Work is bounded by
+    matched-shingle volume per CANDIDATE pair — runs after LSH, never
+    all-pairs.
     """
     pos_sh = (
         df.select(F.col(id_col), tokens(text_col).alias("_toks"))
@@ -807,8 +805,93 @@ def longest_common_run(
     ).distinct()
     w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
     islands = matched.withColumn("island", F.col("pos_a") - F.row_number().over(w))
-    runs = islands.groupBy("id_a", "id_b", "diag", "island").agg(F.count("*").alias("run"))
+    return islands.groupBy("id_a", "id_b", "diag", "island").agg(
+        F.count("*").alias("run"), F.min("pos_a").alias("start_a")
+    )
+
+
+def longest_common_run(
+    df: DataFrame,
+    pairs: DataFrame,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """For each candidate pair, the length of the longest run of
+    CONSECUTIVE shared word-``shingle_k``-grams — i.e. the longest common
+    token substring has ``max_run + k - 1`` tokens.  The span-level
+    duplication signal behind substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): whole-doc Jaccard misses
+    a verbatim paragraph pasted into an otherwise-novel document; a long
+    common run catches exactly that.  Plan: :func:`_diagonal_runs`.
+    """
+    runs = _diagonal_runs(df, pairs, shingle_k, id_col, text_col)
     return runs.groupBy("id_a", "id_b").agg(
         F.max("run").alias("max_run"),
         (F.max("run") + F.lit(shingle_k - 1)).alias("lcs_tokens"),
     )
+
+
+def remove_common_runs(
+    df: DataFrame,
+    pairs: DataFrame,
+    shingle_k: int = 3,
+    min_run: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring dedup REMOVAL (Lee et al. §4 keep-one-occurrence): for
+    every doc appearing as ``id_b`` in a candidate pair whose longest
+    common shingle run reaches ``min_run``, cut that duplicated token
+    span from the doc — the ``id_a`` side keeps its copy — and re-emit
+    the text.
+
+    Output (affected docs only): (doc_id, src_id, new_text,
+    removed_tokens) where ``src_id`` is the doc whose copy survives and
+    ``removed_tokens = run + k - 1``.  Exactly ONE span — the best — is
+    cut per doc; iterating the operator removes further spans
+    (convergent: each pass strictly shrinks affected docs).  "Best" is
+    fully deterministic: longest run, then lowest src_id, then lowest
+    diagonal, then lowest start — so the DuckDB oracle replays the
+    identical choice.
+
+    The emitted text is over NORMALIZED tokens (lowercased,
+    whitespace-collapsed — the same token stream the shingles were built
+    from); exact source-byte surgery would need byte offsets that token
+    shingling deliberately abstracts away.
+
+    Scale shape: everything up to the per-doc argmin is
+    :func:`_diagonal_runs` (candidate-bounded); the argmin is one window
+    over (id_b) and the splice is a per-row ``filter`` lambda over the
+    token array — no extra shuffle beyond the token-array join.
+    """
+    runs = _diagonal_runs(df, pairs, shingle_k, id_col, text_col).filter(
+        F.col("run") >= min_run
+    )
+    wb = Window.partitionBy("id_b").orderBy(
+        F.desc("run"), F.asc("id_a"), F.asc("diag"), F.asc("start_a")
+    )
+    best = (
+        runs.withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("id_b"),
+            F.col("id_a").alias("src_id"),
+            (F.col("start_a") - F.col("diag")).alias("start_b"),
+            (F.col("run") + F.lit(shingle_k - 1)).alias("n_cut"),
+        )
+    )
+    toked = df.select(F.col(id_col).alias("id_b"), tokens(text_col).alias("_toks"))
+    spliced = toked.join(best, "id_b").select(
+        F.col("id_b").alias(id_col),
+        "src_id",
+        F.concat_ws(
+            " ",
+            F.filter(
+                F.col("_toks"),
+                lambda t, i: (i < F.col("start_b")) | (i >= F.col("start_b") + F.col("n_cut")),
+            ),
+        ).alias("new_text"),
+        F.col("n_cut").cast("long").alias("removed_tokens"),
+    )
+    return spliced

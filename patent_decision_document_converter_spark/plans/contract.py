@@ -852,6 +852,59 @@ FROM runs GROUP BY id_a, id_b
 """
 
 
+def dedup_remove_common_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring dedup END-TO-END: after finding the duplicated span
+    (dedup_common_run), CUT it from the lower-priority doc (keep-one-
+    occurrence, Lee et al. §4) and re-emit the text.  The oracle replays
+    the identical island/argmin choice and list-splice in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs)
+    pairs = dedup.minhash_lsh_candidates(sigs)
+    out = dedup.remove_common_runs(docs, pairs, shingle_k=3)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("src_id").cast("long").alias("src_id"),
+        F.md5("new_text").alias("new_md5"),
+        F.length("new_text").cast("long").alias("new_len"),
+        "removed_tokens",
+    )
+
+
+_REMOVE_RUN_SQL = f"""
+WITH {_MINHASH_CTES},
+ps AS (SELECT doc_id, pos,
+              {_SQL_H60.format(x="shingle")} AS sh_hash
+       FROM (SELECT doc_id,
+                    tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle,
+                    pos
+             FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+       WHERE shingle IS NOT NULL),
+m AS (SELECT DISTINCT p.id_a, p.id_b, a.pos AS pos_a, a.pos - b.pos AS diag
+      FROM lsh_pairs p
+      JOIN ps a ON a.doc_id = p.id_a
+      JOIN ps b ON b.doc_id = p.id_b AND a.sh_hash = b.sh_hash),
+isl AS (SELECT id_a, id_b, pos_a, diag,
+               pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS island
+        FROM m),
+runs AS (SELECT id_a, id_b, diag, island, COUNT(*) AS run, MIN(pos_a) AS start_a
+         FROM isl GROUP BY id_a, id_b, diag, island),
+best AS (SELECT id_b, id_a AS src_id, start_a - diag AS start_b, run + 2 AS n_cut
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_b
+                         ORDER BY run DESC, id_a, diag, start_a) AS rn
+               FROM runs)
+         WHERE rn = 1)
+SELECT b.id_b AS doc_id,
+       b.src_id,
+       -- COALESCE: DuckDB array_to_string([]) is NULL, Spark concat_ws is ''
+       md5(COALESCE(array_to_string(list_filter(t.toks,
+             (x, i) -> i < b.start_b OR i >= b.start_b + b.n_cut), ' '), '')) AS new_md5,
+       CAST(len(COALESCE(array_to_string(list_filter(t.toks,
+             (x, i) -> i < b.start_b OR i >= b.start_b + b.n_cut), ' '), '')) AS BIGINT) AS new_len,
+       CAST(b.n_cut AS BIGINT) AS removed_tokens
+FROM best b JOIN t ON t.doc_id = b.id_b
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """120-bit (2×60-bit-word) SimHash fingerprints — the band-width
     extension that holds the near-dup banding math to 10^12 docs."""
@@ -1833,6 +1886,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_clusters": (dedup_clusters, _CLUSTERS_SQL),
     "dedup_decontaminate": (dedup_decontaminate, _DECONTAM_SQL),
     "dedup_common_run": (dedup_common_run, _COMMON_RUN_SQL),
+    "dedup_remove_common_run": (dedup_remove_common_run, _REMOVE_RUN_SQL),
     "dedup_shingle_overlap": (dedup_shingle_overlap, _SHINGLE_OVERLAP_SQL),
     "dedup_simhash": (dedup_simhash, _SIMHASH_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, _SIMHASH_PAIRS_SQL),

@@ -56,6 +56,7 @@ def curate_corpus(
     jaccard_threshold_tenths: int = 8,
     max_dup_line_permille: int | None = None,
     max_top_bigram_permille: int | None = None,
+    substring_dedup_min_run: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """Run the full curation pipeline; returns (curated spans DataFrame,
     per-stage metrics dict).
@@ -71,7 +72,16 @@ def curate_corpus(
 
     ``max_dup_line_permille`` / ``max_top_bigram_permille`` enable the
     Gopher-family repetition gates (textstats.repetition_signals) —
-    off by default; Gopher's own cut-offs are ≈300 / ≈180."""
+    off by default; Gopher's own cut-offs are ≈300 / ≈180.
+
+    ``substring_dedup_min_run`` enables span-level substring dedup (Lee
+    et al. keep-one-occurrence) AFTER doc-level near-dedup: among the
+    SURVIVORS, LSH candidate pairs that stayed below the whole-doc
+    Jaccard threshold but share a common token run of at least this many
+    word-3-shingles get the duplicated span cut from the higher doc_id's
+    text.  Affected docs are re-emitted as a single flat text span
+    (token-level splice cannot preserve positional media interleaving;
+    unaffected docs keep their span structure bit-identical)."""
     metrics: dict[str, int] = {"input_docs": docs.count()}
 
     converted = track(convert_documents(docs, mode=mode))
@@ -140,6 +150,47 @@ def curate_corpus(
     metrics["after_near_dedup"] = survivors.count()
 
     curated = converted.join(survivors, "doc_id", "left_semi")
+
+    if substring_dedup_min_run is not None:
+        # candidate pairs where BOTH endpoints survived doc-level dedup:
+        # below the whole-doc threshold, but possibly sharing a verbatim span
+        surv_text = text_e.join(survivors, "doc_id", "left_semi")
+        cands_surv = (
+            cands.join(survivors.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi")
+            .join(survivors.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+        )
+        cut = track(
+            dedup.remove_common_runs(
+                surv_text, cands_surv, shingle_k=3, min_run=substring_dedup_min_run
+            )
+        )
+        metrics["substring_cut_docs"] = cut.count()
+        spans_t = curated.schema["spans"].dataType
+        cut_rows = cut.select(
+            "doc_id",
+            F.array(
+                F.struct(
+                    F.lit("text").alias("kind"),
+                    F.col("new_text").alias("text"),
+                    F.lit("").alias("media_ref"),
+                    F.lit(0).alias("offset"),
+                )
+            ).cast(spans_t).alias("_new_spans"),
+        )
+        curated = (
+            curated.join(cut_rows, "doc_id", "left")
+            .withColumn(
+                "spans", F.coalesce(F.col("_new_spans"), F.col("spans"))
+            )
+            .withColumn(
+                "n_spans_out",
+                F.when(F.col("_new_spans").isNotNull(), F.lit(1)).otherwise(
+                    F.col("n_spans_out")
+                ).cast("int"),
+            )
+            .drop("_new_spans")
+        )
+
     metrics["curated_docs"] = metrics["after_near_dedup"]
     return curated, metrics
 

@@ -619,6 +619,76 @@ def test_longest_common_run(spark):
     assert out[(1, 3)] == (1, 3)
 
 
+def test_remove_common_runs_cuts_best_span(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "x y a b c d e f z q"),   # shares the 6-token run 'a..f'
+            (3, "a b c x d e f x g h"),   # only single-shingle overlaps
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    out = {r["doc_id"]: r for r in dedup.remove_common_runs(df, pairs, shingle_k=3).collect()}
+    # doc 2 loses its copy of 'a b c d e f' (6 tokens), doc 1 keeps it
+    assert out[2]["src_id"] == 1
+    assert out[2]["new_text"] == "x y z q"
+    assert out[2]["removed_tokens"] == 6
+    # doc 3: best island is a single shingle (3 tokens); the deterministic
+    # tie-break (run DESC, src ASC, diag ASC, start ASC) picks 'd e f'
+    # (diag 3-4=-1 sorts before 'a b c' at diag 0)
+    assert out[3]["removed_tokens"] == 3
+    assert out[3]["new_text"] == "a b c x x g h"
+    assert 1 not in out  # id_a side always keeps its occurrence
+    # min_run gate drops the weak doc-3 cut but keeps doc 2
+    gated = {r["doc_id"] for r in dedup.remove_common_runs(df, pairs, shingle_k=3, min_run=2).collect()}
+    assert gated == {2}
+
+
+def test_curate_substring_dedup_stage(spark):
+    """curate_corpus with substring_dedup_min_run cuts a pasted span from
+    a below-threshold near-dup survivor and re-emits it as flat text."""
+    from patent_decision_document_converter_spark.functions.cachereg import release_cached
+    from patent_decision_document_converter_spark.plans.curate import curate_corpus
+
+    # 24 space-separated pure-kanji tokens: survive conversion untouched,
+    # shingle as words, and dominate the char-5-gram LSH signatures (the
+    # single-char unique suffix keeps shingle Jaccard high enough that
+    # the deterministic MinHash draw collides on a band)
+    shared = (
+        "共有 段落 重複 検出 対象 連続 範囲 部分 文書 内容 抽出 処理 "
+        "手続 補正 理由 通知 書類 発明 請求 項目 記載 事項 検討 判断"
+    )
+    rows = [
+        ("0", f"{shared} 零"),
+        ("1", f"{shared} 壱"),
+        ("2", "全然 違う 話題 です 独自 記述 のみ 含む 文章 構成"),
+    ]
+    docs = spark.createDataFrame(
+        [
+            (i, [{"kind": "text", "text": t, "media_ref": "", "offset": 0}])
+            for i, t in rows
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    curated, metrics = curate_corpus(
+        docs,
+        min_chars=5,
+        min_tokens=1,
+        min_distinct_permille=0,
+        jaccard_threshold_tenths=10,   # doc-level dedup keeps both 0 and 1
+        substring_dedup_min_run=2,
+    )
+    got = {r["doc_id"]: r for r in curated.collect()}
+    release_cached()
+    assert metrics["substring_cut_docs"] == 1
+    assert set(got) == {"0", "1", "2"}
+    # the higher doc_id lost the shared run; the lower kept its copy
+    assert "重複" not in "".join(s["text"] for s in got["1"]["spans"])
+    assert got["1"]["n_spans_out"] == 1
+    assert "重複" in "".join(s["text"] for s in got["0"]["spans"])
+
+
 def test_connected_components_checksum_mode_agrees(spark):
     edges = [(i, i + 1) for i in range(1, 10)] + [(50, 51), (51, 52), (70, 71)]
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
