@@ -1646,6 +1646,71 @@ FROM cnt GROUP BY doc_id, media_ref, kind
 """
 
 
+def media_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL codec path under a hard oracle: genuine BMP / PCM-WAV
+    payloads (valid files, md5-derived pixels/samples) are built as pure
+    JVM expressions, decoded by actual stdlib codecs (struct-parsed BMP
+    headers; the `wave` module) inside the Arrow-batched decode stage,
+    and the integer features are recomputed by DuckDB from the same md5
+    hex stream — rows+schema+hash gated, no frozen expectations needed."""
+    from ..operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = multimodal.synth_media_table_real(docs)
+    feats = multimodal.decode_media(media, impl="real")
+    return feats.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "media_ref",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.concat_ws(
+            ",", F.transform(F.col("features"), lambda x: x.cast("long").cast("string"))
+        ).alias("feat_csv"),
+    )
+
+
+def _media_real_sql() -> str:
+    from ..operators import multimodal as _mm
+
+    n_pix = _mm._BMP_PIXBYTES           # 192 pixel bytes = 12 md5 digests
+    n_dat = _mm._WAV_DATABYTES          # 64 sample bytes = 4 md5 digests
+    bmp_chain = " || ".join(f"md5('mr:' || doc_id || ':p{i}')" for i in range(n_pix // 16))
+    wav_chain = " || ".join(f"md5('mr:' || doc_id || ':p{i}')" for i in range(n_dat // 16))
+    n_bmp = 54 + n_pix
+    n_wav = 44 + n_dat
+    return f"""
+WITH img AS (SELECT doc_id, 'mr:' || doc_id AS media_ref, {bmp_chain} AS pix
+             FROM documents WHERE doc_id % 2 = 0),
+aud AS (SELECT doc_id, 'mr:' || doc_id AS media_ref, {wav_chain} AS pix
+        FROM documents WHERE doc_id % 2 = 1),
+ib AS (SELECT doc_id, media_ref, j,
+              CAST('0x' || substr(pix, 2 * j + 1, 2) AS INTEGER) AS bv
+       FROM img CROSS JOIN (SELECT unnest(range({n_pix})) AS j)),
+ifeat AS (SELECT doc_id, media_ref,
+                 '{_mm.BMP_W},{_mm.BMP_H},'
+                 || CAST(SUM(CASE WHEN j % 3 = 0 THEN bv ELSE 0 END) AS VARCHAR) || ','
+                 || CAST(SUM(CASE WHEN j % 3 = 1 THEN bv ELSE 0 END) AS VARCHAR) || ','
+                 || CAST(SUM(CASE WHEN j % 3 = 2 THEN bv ELSE 0 END) AS VARCHAR) AS feat_csv
+          FROM ib GROUP BY doc_id, media_ref),
+ab AS (SELECT doc_id, media_ref, s,
+              CAST('0x' || substr(pix, 4 * s + 1, 2) AS INTEGER) AS lo,
+              CAST('0x' || substr(pix, 4 * s + 3, 2) AS INTEGER) AS hi
+       FROM aud CROSS JOIN (SELECT unnest(range({n_dat // 2})) AS s)),
+afeat AS (SELECT doc_id, media_ref,
+                 '1,{_mm.WAV_RATE},{_mm.WAV_FRAMES},'
+                 || CAST(SUM(ABS(CASE WHEN lo + 256 * hi >= 32768
+                                      THEN lo + 256 * hi - 65536
+                                      ELSE lo + 256 * hi END)) AS VARCHAR) AS feat_csv
+          FROM ab GROUP BY doc_id, media_ref)
+SELECT doc_id, media_ref, 'image' AS kind, CAST({n_bmp} AS BIGINT) AS n_bytes, feat_csv FROM ifeat
+UNION ALL
+SELECT doc_id, media_ref, 'audio' AS kind, CAST({n_wav} AS BIGINT) AS n_bytes, feat_csv FROM afeat
+"""
+
+
+_MEDIA_REAL_SQL = _media_real_sql()
+
+
 # ---------------------------------------------------------------------------
 # conversion engine — oracle = REFERENCE-computed expectations
 #
@@ -1915,6 +1980,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "corpus_token_batches": (corpus_token_batches, _TOKEN_BATCHES_SQL),
     # multimodal plumbing
     "media_features": (media_features, _MEDIA_FEATURES_SQL),
+    "media_features_real": (media_features_real, _MEDIA_REAL_SQL),
     # conversion engine — oracle = frozen reference-JS expectations
     "convert_office_action": (convert_office_action, _CONVERT_OA_SQL),
     "convert_html_spans": (convert_html_spans, _CONVERT_HTML_SQL),

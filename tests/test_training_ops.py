@@ -394,9 +394,64 @@ def test_decode_media_fake_features(media):
         assert abs(sum(r["features"]) - 1.0) < 1e-9  # L1-normalized histogram
 
 
-def test_decode_media_real_raises(media):
+def test_decode_media_real_raises_for_compressed_formats(media):
+    # the synth_media_table fixture formats are png/csv — no stdlib codec
     with pytest.raises(Exception, match="(?i)not installed|NotImplemented"):
         multimodal.decode_media(media.limit(1), impl="real").collect()
+
+
+def test_real_resize_bmp_wav_roundtrip(spark):
+    """Real resize emits VALID smaller files that the real decoder
+    re-parses: an 8x8 BMP halves to 4x4; a 32-frame WAV decimates to 8."""
+    docs = spark.createDataFrame([(0,), (1,)], "doc_id long")
+    media = multimodal.synth_media_table_real(docs)
+    out = {r["doc_id"]: r for r in multimodal.resize_media(media, scale_denom=2, impl="real").collect()}
+    f_img = multimodal._decode_bmp(bytes(out["0"]["payload"]))
+    assert f_img[:2] == [4.0, 4.0]
+    f_aud = multimodal._decode_wav(bytes(out["1"]["payload"]))
+    assert f_aud[0] == 1.0 and f_aud[2] == 16.0
+    # decimating twice == decimating by 4 (sample alignment)
+    out4 = {r["doc_id"]: r for r in multimodal.resize_media(media, scale_denom=4, impl="real").collect()}
+    assert multimodal._decode_wav(bytes(out4["1"]["payload"]))[2] == 8.0
+
+
+def test_real_bmp_wav_payloads_decode(spark):
+    """The real-codec path end-to-end: genuine BMP/WAV payloads decode
+    with stdlib codecs; cross-checked against an independent pure-python
+    reconstruction of the byte stream."""
+    docs = spark.createDataFrame([(0,), (1,)], "doc_id long")
+    media = multimodal.synth_media_table_real(docs)
+    rows = {r["doc_id"]: r for r in media.collect()}
+    # payloads are valid files: BMP magic / RIFF-WAVE magic
+    bmp = bytes(rows["0"]["payload"])
+    wav = bytes(rows["1"]["payload"])
+    assert bmp[:2] == b"BM" and rows["0"]["format"] == "bmp"
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    # the stdlib wave module itself accepts the payload
+    import io
+    import wave as wave_mod
+
+    with wave_mod.open(io.BytesIO(wav), "rb") as w:
+        assert (w.getnchannels(), w.getframerate(), w.getnframes()) == (1, 8000, 32)
+
+    feats = {r["doc_id"]: r for r in multimodal.decode_media(media, impl="real").collect()}
+    fi = feats["0"]["features"]
+    assert fi[0] == 8.0 and fi[1] == 8.0          # parsed geometry
+    # channel sums equal an independent reconstruction from the md5 chain
+    pix = b"".join(
+        hashlib.md5(f"mr:0:p{i}".encode()).digest() for i in range(192 // 16)
+    )
+    want = [0, 0, 0]
+    for i, b in enumerate(pix):
+        want[i % 3] += b
+    assert fi[2:] == [float(x) for x in want]
+    fa = feats["1"]["features"]
+    assert fa[:3] == [1.0, 8000.0, 32.0]
+    import struct as struct_mod
+
+    dat = b"".join(hashlib.md5(f"mr:1:p{i}".encode()).digest() for i in range(4))
+    vals = struct_mod.unpack("<32h", dat)
+    assert fa[3] == float(sum(abs(v) for v in vals))
 
 
 def test_resize_media(media):
