@@ -276,6 +276,29 @@ def _minhash_signatures_pandas(
     return df.select(id_col, text_col).mapInPandas(run, out_schema)
 
 
+def banded_signatures(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band_id, band_hash) band table from MinHash signatures — a
+    per-row projection (no shuffle); shared by the batch candidate join
+    and the streaming band-state dedup."""
+    rows = num_hashes // bands
+    return signatures.filter(F.size("signature") > 0).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: md5_long(
+                    F.concat_ws(",", F.transform(F.slice("signature", b * rows + 1, rows), lambda v: v.cast("string")))
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -289,18 +312,7 @@ def minhash_lsh_candidates(
     AQE can re-balance; at cluster scale the band table is bucket-written
     so repeated dedup runs skip the exchange entirely.
     """
-    rows = num_hashes // bands
-    banded = signatures.filter(F.size("signature") > 0).select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: md5_long(
-                    F.concat_ws(",", F.transform(F.slice("signature", b * rows + 1, rows), lambda v: v.cast("string")))
-                ),
-            )
-        ).alias("band_id", "band_hash"),
-    )
+    banded = banded_signatures(signatures, id_col, num_hashes, bands)
     # materialize before the self-join: otherwise BOTH join sides re-run the
     # full signature lineage (hash computation is the expensive stage; the
     # band table is tiny — id + 2 longs per band)

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -181,16 +182,7 @@ def dedup_stream(
     of normalized text, same derivation as the batch
     ``operators.dedup.exact_dedup``."""
     if text_expr is None:
-        text_expr = F.concat_ws(
-            "\n",
-            F.transform(
-                F.filter(
-                    F.expr("array_sort(spans, (l, r) -> l.offset - r.offset)"),
-                    lambda s: s["kind"] == F.lit("text"),
-                ),
-                lambda s: s["text"],
-            ),
-        )
+        text_expr = _spans_text_expr()
     hashed = docs.withColumn(
         "content_hash",
         F.conv(F.substring(F.md5(F.lower(F.trim(F.regexp_replace(text_expr, r"\s+", " ")))), 1, 15), 16, 10).cast("long"),
@@ -200,6 +192,105 @@ def dedup_stream(
             ["content_hash"]
         )
     return hashed.dropDuplicates(["content_hash"])
+
+
+_DEFAULT_TEXT_EXPR = None  # sentinel resolved inside dedup_stream/_minhash
+
+
+def _spans_text_expr():
+    return F.concat_ws(
+        "\n",
+        F.transform(
+            F.filter(
+                F.expr("array_sort(spans, (l, r) -> l.offset - r.offset)"),
+                lambda s: s["kind"] == F.lit("text"),
+            ),
+            lambda s: s["text"],
+        ),
+    )
+
+
+_BAND_STATE_SCHEMA = StructType([StructField("canonical_id", StringType())])
+
+_BAND_FLAG_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("dup_of", StringType()),
+    ]
+)
+
+
+def _band_dedup_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-(band_id, band_hash) bucket state = the first-seen doc_id.
+    Every later doc landing in the bucket is flagged (doc_id, dup_of).
+    Within a micro-batch, arrival order is canonicalized by sorting the
+    group's rows on doc_id, so results are batch-deterministic."""
+    canon = state.get[0] if state.exists else None
+    out_ids: list[str] = []
+    out_canon: list[str] = []
+    chunks = [p for p in pdfs if len(p)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        for d in sorted(pdf["doc_id"].astype(str)):
+            if canon is None:
+                canon = d
+            elif d != canon:
+                out_ids.append(d)
+                out_canon.append(canon)
+    state.update((canon,))
+    yield pd.DataFrame({"doc_id": out_ids, "dup_of": out_canon})
+
+
+def dedup_stream_minhash(
+    docs: DataFrame,
+    text_expr=None,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    unit: str = "word",
+) -> DataFrame:
+    """Streaming NEAR-dedup: MinHash-LSH band state across micro-batches.
+
+    Plan: the stateless signature stage (the batch pipeline's exact
+    Arrow-batched hashlib twin — byte-identical signatures) → per-row
+    banding (no shuffle) → ``applyInPandasWithState`` keyed on
+    (band_id, band_hash): the state store holds the first-seen doc per
+    band bucket — the streaming equivalent of the batch band-table
+    self-join, with the "earlier side" materialized as state instead of
+    re-scanned.  Emits (doc_id, dup_of) for every band collision with an
+    earlier doc; a doc may be flagged once per colliding band, so
+    consumers ``dropDuplicates(["doc_id"])`` per micro-batch (foreachBatch)
+    before acting — same post-filter the batch candidates get via
+    ``.distinct()``.
+
+    State is ONE short row per distinct band value — bounded by corpus
+    band cardinality, not stream length; production deployments bound it
+    further with event-time state timeout (the same watermark horizon
+    argument as ``dedup_stream``'s dropDuplicatesWithinWatermark).
+    Batch-parity: a near-dup arriving in a later micro-batch is flagged
+    iff the batch ``minhash_lsh_candidates`` on the union pairs them —
+    pinned in tests/test_streaming.py.
+    """
+    from ..operators.dedup import _minhash_signatures_pandas, banded_signatures
+
+    if text_expr is None:
+        text_expr = _spans_text_expr()
+    texted = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), text_expr.alias("text")
+    )
+    sigs = _minhash_signatures_pandas(
+        texted, "doc_id", "text", num_hashes, shingle_k, unit
+    )
+    banded = banded_signatures(sigs, "doc_id", num_hashes, bands)
+    return banded.groupBy("band_id", "band_hash").applyInPandasWithState(
+        _band_dedup_fn,
+        outputStructType=_BAND_FLAG_SCHEMA,
+        stateStructType=_BAND_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def run_stream_to_memory(out: DataFrame, query_name: str, output_mode: str = "update"):

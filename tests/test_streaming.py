@@ -209,6 +209,56 @@ def test_dedup_stream_within_watermark_bounds_state(spark, tmp_path_factory):
     assert kept == {1, 3}
 
 
+def test_dedup_stream_minhash_flags_cross_batch_near_dup(spark, tmp_path_factory):
+    """Streaming NEAR-dedup: a near-duplicate (NOT exact — one token
+    differs, so content-hash dedup would keep it) arriving in a later
+    micro-batch is flagged against the first-seen doc via MinHash-LSH
+    band state; the flagged pair equals the batch pipeline's candidate
+    pair on the union of both batches."""
+    import time as time_mod
+
+    base = str(tmp_path_factory.mktemp("ndstream"))
+    inp = os.path.join(base, "in")
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lamda mu nu xi omicron pi rho sigma tau upsilon ") * 3
+    text_a = words + "phi chi psi omega end"
+    text_b = words + "phi chi psi omega CHANGED"   # near-dup, not exact
+    text_c = "totally unrelated content talking about something else entirely here now"
+
+    def doc(did, text):
+        return {"doc_id": did, "spans": [{"kind": "text", "text": text, "media_ref": "", "offset": 0}]}
+
+    create_documents_df(spark, [doc("docA", text_a), doc("docC", text_c)]).coalesce(
+        1
+    ).write.parquet(inp)
+    time_mod.sleep(1.2)  # distinct mtimes: batch 1 = {A, C}, batch 2 = {B}
+    create_documents_df(spark, [doc("docB", text_b)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+
+    stream = stream_job.read_documents_stream(spark, inp, max_files=1)
+    out = stream_job.dedup_stream_minhash(stream)
+    stream_job.run_stream_to_memory(out, "nd_test", output_mode="update")
+    flags = {
+        (r["doc_id"], r["dup_of"])
+        for r in spark.sql("SELECT doc_id, dup_of FROM nd_test").collect()
+    }
+    assert ("docB", "docA") in flags  # batch-2 near-dup caught against batch-1 state
+    assert not any("docC" in pair for pair in flags)
+
+    # batch parity: same pair set as minhash_lsh_candidates on the union
+    from patent_decision_document_converter_spark.operators import dedup as bdedup
+
+    union = spark.createDataFrame(
+        [("docA", text_a), ("docB", text_b), ("docC", text_c)], ["doc_id", "text"]
+    )
+    batch_pairs = {
+        frozenset((r["id_a"], r["id_b"]))
+        for r in bdedup.minhash_lsh_candidates(bdedup.minhash_signatures(union)).collect()
+    }
+    assert {frozenset(p) for p in flags} == batch_pairs == {frozenset(("docA", "docB"))}
+
+
 def test_curate_stream_gates_and_dedups(spark, tmp_path_factory):
     """Streaming curation: quality gate + cross-batch exact dedup on a
     document stream, convert stage shared with batch."""
