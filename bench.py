@@ -66,7 +66,9 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "dedup_decontaminate",
     "dedup_common_run",
+    "dedup_remove_common_run",
     "media_features",
+    "media_features_real",
     "corpus_stratified_sample",
     "corpus_redact_pii",
     "corpus_tfidf_top_terms",

@@ -340,6 +340,70 @@ def convert_documents_exploded(df: DataFrame, mode: str = "officeAction") -> Dat
     )
 
 
+def pick_convert_strategy(
+    df: DataFrame, straggler_factor: int = 3, min_runs: int = 32
+) -> str:
+    """Choose nested vs exploded conversion from cheap corpus stats.
+
+    Cost model (validated by tools/bench_skew.py): with salted fine
+    partitioning the nested strategy's wall-clock is
+    ``max(max_doc_cost, total_cost / cores)`` — a megadoc is one
+    unsplittable task.  The exploded strategy removes the straggler term
+    (runs are the schedulable unit) but pays ~2 extra full-data shuffles
+    (run assembly + re-stitch).  So exploding is only worth it when one
+    document exceeds a core's fair share by enough to cover that
+    overhead:
+
+        exploded  iff  max(n_spans) >= min_runs                (fan-out exists)
+                   and max(n_spans) * cores >= straggler_factor * total_spans
+
+    Span counts proxy per-doc cost (runs are the parallelism grain — a
+    giant doc with FEW spans is one run either way and nested+salt is
+    the best anyone can do).  One sum+max aggregation over the spans
+    sizes (a single small job); at warehouse scale the same two numbers
+    come free from table statistics / write manifests.  The
+    bench_skew mega-tail corpus sits at ``max*cores/total ≈ 1.6`` and
+    measures nested-salted FASTER than exploded (4.4s vs 7.5s), so the
+    threshold of 3 correctly keeps it nested; exploded wins once a
+    single doc is ≥3 fair shares (the 100 TB scenario: one 10^6-span
+    interleaved megadoc that would otherwise pin a task for hours).
+    """
+    r = (
+        df.select(F.size("spans").alias("n"))
+        .agg(F.sum("n").alias("total"), F.max("n").alias("mx"))
+        .head()
+    )
+    total, mx = (r["total"] or 0), (r["mx"] or 0)
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if mx >= min_runs and mx * cores >= straggler_factor * max(total, 1):
+        return "exploded"
+    return "nested"
+
+
+def convert_documents_auto(
+    df: DataFrame,
+    mode: str = "officeAction",
+    n_partitions: int | None = None,
+    salt_buckets: int = 16,
+    straggler_factor: int = 3,
+    min_runs: int = 32,
+) -> DataFrame:
+    """Strategy-adaptive conversion: measure span-count skew once, then
+    run the nested (one mapInPandas, zero/one exchange) or exploded
+    (per-run fan-out + window re-stitch) strategy — both produce
+    IDENTICAL output (pinned by the convert_interleaved_* oracle twins),
+    so the choice is purely physical.  Callers that know their corpus
+    call the specific strategy; this is the right default for unknown
+    corpora (tools/bench_skew.py measures auto within noise of the
+    better hand-picked strategy on both uniform and mega-tail corpora).
+    """
+    if pick_convert_strategy(df, straggler_factor, min_runs) == "exploded":
+        return convert_documents_exploded(df, mode)
+    return convert_documents(
+        df, mode, n_partitions=n_partitions, salt_buckets=salt_buckets if n_partitions else 0
+    )
+
+
 def quarantine_split(out: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Job-level gate replacing the reference's abort-on-typo modal
     (app.js:486-494): clean rows vs rows with findings."""

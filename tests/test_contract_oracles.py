@@ -86,3 +86,77 @@ def test_query_matches_oracle(spark, con, name):
     assert sorted(s_cols) == sorted(d_cols)
     assert len(s_rows) == len(d_rows)
     assert _digest(s_cols, s_rows) == _digest(d_cols, d_rows)
+
+
+# ---------------------------------------------------------------------------
+# adversarial-corpus gate: the same oracle comparison over a documents
+# table salted with the rows that historically broke engines/oracles —
+# NULL text, empty text, whitespace-only, sub-shingle token counts,
+# vertical-tab whitespace (the Java-vs-RE2 \s dialect pin), exact dups.
+# Pins the winnow/simhash LEFT-JOIN and NULL-fold fixes from round 2.
+# ---------------------------------------------------------------------------
+
+ADV_SUBSET = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "text_token_stats",
+    "text_winnow_fp",
+    "text_repetition",
+    "corpus_token_batches",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_dir(spark, tmp_path_factory):
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
+    adversarial = [
+        (9001, None),                       # NULL text
+        (9002, ""),                         # empty
+        (9003, "   \t  "),                  # whitespace-only
+        (9004, "single"),                   # below every shingle k
+        (9005, "two tokens"),
+        (9006, "a\x0bb  c　d"),         # \x0b: Java \s vs RE2 \s dialect pin
+        (9007, "dup dup dup dup dup dup"),  # heavy repetition
+        (9008, "dup dup dup dup dup dup"),  # exact duplicate of 9007
+        (9009, "行頭　全角空白と改行\nを含む日本語のみの本文"),
+    ]
+    extra = spark.createDataFrame(adversarial, "doc_id long, text string").selectExpr(
+        "doc_id",
+        "text",
+        "'xx' AS lang",
+        "'adversarial' AS source",
+        "CAST(COALESCE(length(text), 0) AS BIGINT) AS n_chars",
+    )
+    d = str(tmp_path_factory.mktemp("adv_sf"))
+    base.unionByName(extra).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    return d
+
+
+@pytest.fixture(scope="module")
+def adv_con(adv_dir):
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{adv_dir}/documents.parquet/*.parquet')"
+    )
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", ADV_SUBSET)
+def test_query_matches_oracle_adversarial(spark, adv_dir, adv_con, name):
+    fn = entry.queries()[name]
+    sql = entry.oracle_sql()[name]
+
+    df = fn(spark, adv_dir)
+    s_cols = df.columns
+    s_rows = [tuple(r) for r in df.collect()]
+
+    res = adv_con.execute(sql)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols)
+    assert len(s_rows) == len(d_rows)
+    assert _digest(s_cols, s_rows) == _digest(d_cols, d_rows)

@@ -149,6 +149,44 @@ def test_exploded_strategy_equals_nested(spark, docs_rows):
         assert nested == exploded, mode
 
 
+def test_auto_strategy_pick_and_parity(spark, docs_rows):
+    """pick_convert_strategy implements the straggler cost model: a doc
+    holding >= straggler_factor core-fair-shares of span work goes
+    exploded; everything else (uniform AND mild mega tails) stays
+    nested+salt, which bench_skew measures faster.  Auto output equals
+    the nested strategy either way."""
+    from patent_decision_document_converter_spark.plans.job import (
+        convert_documents_auto,
+        pick_convert_strategy,
+    )
+
+    uniform = create_documents_df(spark, docs_rows)   # mega_frac=0.0
+    assert pick_convert_strategy(uniform) == "nested"
+
+    # one doc = 900 of 990 total spans; with local[4] that is
+    # 900*4/990 ≈ 3.6 fair shares >= factor 3 -> exploded
+    def span(i):
+        return {"kind": "text", "text": f"span {i} 本文", "media_ref": "", "offset": i}
+
+    dominated = create_documents_df(
+        spark,
+        [{"doc_id": f"small-{j}", "spans": [span(i) for i in range(10)]} for j in range(9)]
+        + [{"doc_id": "monster", "spans": [span(i) for i in range(900)]}],
+    )
+    assert pick_convert_strategy(dominated) == "exploded"
+
+    for df in (uniform, dominated):
+        want = {
+            r["doc_id"]: r.asDict(recursive=True)
+            for r in convert_documents(df, "pct").collect()
+        }
+        got = {
+            r["doc_id"]: r.asDict(recursive=True)
+            for r in convert_documents_auto(df, "pct").collect()
+        }
+        assert got == want
+
+
 def test_quarantine_split(spark):
     rows = [
         {"doc_id": "bad", "spans": [{"kind": "text", "text": "これは、、誤記です", "media_ref": "", "offset": 0}]},
