@@ -209,6 +209,11 @@ def main() -> None:
     p.add_argument("--min-tokens", type=int, default=8)
     p.add_argument("--min-distinct-permille", type=int, default=200)
     p.add_argument("--langs", default=None, help="comma-separated keep list")
+    p.add_argument(
+        "--substring-dedup-min-run", type=int, default=None,
+        help="enable span-level substring dedup among near-dedup survivors "
+             "(min consecutive shared word-3-shingles to cut)",
+    )
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -221,6 +226,7 @@ def main() -> None:
         min_tokens=args.min_tokens,
         min_distinct_permille=args.min_distinct_permille,
         keep_langs=tuple(args.langs.split(",")) if args.langs else None,
+        substring_dedup_min_run=args.substring_dedup_min_run,
     )
     curated.write.mode("overwrite").parquet(args.output)
     print(json.dumps(metrics))

@@ -266,9 +266,14 @@ def dedup_stream_minhash(
     ``.distinct()``.
 
     State is ONE short row per distinct band value — bounded by corpus
-    band cardinality, not stream length; production deployments bound it
-    further with event-time state timeout (the same watermark horizon
-    argument as ``dedup_stream``'s dropDuplicatesWithinWatermark).
+    band cardinality, not stream length.  A production deployment on an
+    unbounded stream would additionally evict idle band buckets with a
+    state timeout (the same horizon trade dropDuplicatesWithinWatermark
+    makes for exact dedup); NOTE: wiring GroupStateTimeout.
+    ProcessingTimeTimeout here deadlocks this pyspark build's
+    HDFSBackedStateStore commit under availableNow (tasks block in
+    ChecksumCheckpointFileManager.awaitResult — reproduced and reverted),
+    so the TTL stays documented-not-wired until the upstream fix.
     Batch-parity: a near-dup arriving in a later micro-batch is flagged
     iff the batch ``minhash_lsh_candidates`` on the union pairs them —
     pinned in tests/test_streaming.py.
