@@ -136,19 +136,27 @@ def bench_conversion(spark: SparkSession, cpus: int, n_docs: int = N_BENCH_DOCS)
 def run_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     from patent_decision_document_converter_spark.functions.cachereg import release_cached
 
+    def timed(fn) -> float:
+        # min-of-2: the sandbox host throttles in bursts (identical queries
+        # measured 2-30x apart minutes apart); the second run also
+        # amortizes first-plan codegen so numbers track the engine
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            release_cached()  # drop operator-persisted intermediates
+        return round(best, 3)
+
     qtimes: dict[str, float] = {}
     qs = contract.queries()
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.collect()
-        qtimes[name] = round(time.time() - t0, 3)
-        release_cached()  # drop operator-persisted intermediates between queries
+        qtimes[name] = timed(lambda: qs[name](spark, sf_dir).collect())
 
-    t0 = time.time()
-    conv = contract.convert_office_action(spark, sf_dir)
-    conv.count()
-    qtimes["convert_office_action"] = round(time.time() - t0, 3)
+    qtimes["convert_office_action"] = timed(
+        lambda: contract.convert_office_action(spark, sf_dir).count()
+    )
     return qtimes
 
 

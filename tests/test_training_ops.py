@@ -785,6 +785,52 @@ def test_curate_substring_dedup_stage(spark):
     assert "重複" in "".join(s["text"] for s in got["0"]["spans"])
 
 
+def test_simhash_band_refinement_superset(spark):
+    """Band refinement is monotone at ANY hamming threshold: a pair
+    caught by a 30-bit band match is necessarily caught by 15-bit
+    banding too (each 30-bit band splits into two 15-bit sub-bands that
+    both match).  Unlike the pigeonhole-equality test (guaranteed region
+    only), this covers the probabilistic recall region as well."""
+    td = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fps = dedup.simhash_fingerprints(td).persist()
+    wide = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_near_dups(fps, max_hamming=40, band_bits=30).collect()
+    }
+    narrow = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_near_dups(fps, max_hamming=40, band_bits=15).collect()
+    }
+    fps.unpersist()
+    assert wide <= narrow
+    assert wide  # non-vacuous on this corpus
+
+
+def test_remove_common_runs_output_is_contiguous_cut(spark):
+    """Invariant over a real corpus: every emitted doc equals its
+    normalized token stream with exactly ONE contiguous block of
+    ``removed_tokens`` tokens deleted."""
+    import re
+
+    td = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = dedup.minhash_signatures(td)
+    cands = dedup.minhash_lsh_candidates(sigs)
+    out = dedup.remove_common_runs(td, cands, shingle_k=3).collect()
+    assert out  # non-vacuous on this corpus
+    texts = {r["doc_id"]: r["text"] for r in td.select("doc_id", "text").collect()}
+    ws = re.compile(r"[ \t\n\x0b\x0c\r]+")
+    for r in out:
+        orig = ws.sub(" ", texts[r["doc_id"]] or "").strip(" ").lower().split(" ")
+        new = r["new_text"].split(" ") if r["new_text"] else []
+        k = r["removed_tokens"]
+        assert len(new) == len(orig) - k, r["doc_id"]
+        # first divergence point marks the cut; the remainder must align
+        p = 0
+        while p < len(new) and new[p] == orig[p]:
+            p += 1
+        assert orig[p + k :] == new[p:], r["doc_id"]
+
+
 def test_connected_components_checksum_mode_agrees(spark):
     edges = [(i, i + 1) for i in range(1, 10)] + [(50, 51), (51, 52), (70, 71)]
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
