@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "text_winnow_fp",
     "text_doubled_tokens",
     "text_repetition",
+    "text_unigram_surprise",
 ]
 
 N_BENCH_DOCS = 3000

@@ -294,3 +294,56 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
             ),
         )
     )
+
+
+def unigram_surprise(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Integer-exact unigram LM quality proxy (the CCNet / perplexity-
+    filter family, one model order down): per document, the total
+    "surprise" of its tokens under the corpus's OWN unigram distribution,
+    in whole bits:
+
+        surprise(doc) = Σ_tok ( bits(N) − bits(count(tok)) )
+
+    where ``bits(x) = floor(log2(x)) + 1`` is computed EXACTLY as the
+    length of x's binary-digit string (``conv(x, 10, 2)`` — no libm log,
+    so the DuckDB oracle can never drift on the last ulp) and N = total
+    corpus token instances.  High mean surprise = rare vocabulary
+    (OCR noise, gibberish); low = boilerplate; pipelines cut both tails.
+
+    Output: (doc_id, n_tokens, surprise_bits, mean_surprise_milli) —
+    the mean as floor(1000·sum/n) (single exact double division).
+    Blank/NULL docs emit 0s.
+
+    Plan (same scale shape as tf-idf): tokenize → corpus unigram counts
+    (vocab-sized aggregation) → BROADCAST the vocabulary back onto the
+    token stream → per-doc sum keyed on the id the corpus is already
+    partitioned by.  N comes from summing the vocab table (tiny), not a
+    second corpus scan.
+    """
+    from .dedup import tokens as _norm_tokens
+
+    tk = df.select(F.col(id_col), F.explode(_norm_tokens(text_col)).alias("term")).filter(
+        F.col("term") != ""
+    )
+    counts = tk.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt")).head()[0] or 0
+    bits_total = int(total).bit_length()
+    scored = tk.join(F.broadcast(counts), "term").select(
+        F.col(id_col),
+        (F.lit(bits_total) - F.length(F.conv(F.col("cnt"), 10, 2))).alias("s"),
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"), F.sum("s").alias("surprise_bits")
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("surprise_bits", F.lit(0)).cast("long").alias("surprise_bits"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.floor(F.lit(1000) * F.col("surprise_bits") / F.col("n_tokens")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("mean_surprise_milli"),
+    )

@@ -1407,6 +1407,34 @@ FROM nl LEFT JOIN ls ON nl.doc_id = ls.doc_id LEFT JOIN tb ON nl.doc_id = tb.doc
 """
 
 
+def text_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact unigram LM quality proxy: per-doc total token
+    surprise in whole bits under the corpus's own unigram counts
+    (bits via binary-string length — no libm log on either engine)."""
+    out = textstats.unigram_surprise(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", "n_tokens", "surprise_bits", "mean_surprise_milli")
+
+
+_UNIGRAM_SURPRISE_SQL = f"""
+WITH tk AS (SELECT doc_id, term
+            FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents)
+            WHERE term <> ''),
+c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY term),
+-- CAST: DuckDB SUM(BIGINT) yields HUGEINT, which printf %b refuses
+tot AS (SELECT LENGTH(printf('%b', CAST(SUM(cnt) AS BIGINT))) AS bits_total FROM c),
+s AS (SELECT doc_id, COUNT(*) AS n_tokens,
+             SUM((SELECT bits_total FROM tot) - LENGTH(printf('%b', cnt))) AS surprise_bits
+      FROM tk JOIN c USING (term) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(s.surprise_bits, 0) AS BIGINT) AS surprise_bits,
+       CAST(CASE WHEN COALESCE(s.n_tokens, 0) > 0
+                 THEN FLOOR(1000.0 * s.surprise_bits / s.n_tokens) ELSE 0 END AS BIGINT)
+         AS mean_surprise_milli
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+"""
+
+
 def text_doubled_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = textstats.doubled_token_counts(_t(spark, sf_dir, "documents"))
     return out.select("doc_id", F.col("n_doubled").cast("long").alias("n_doubled"))
@@ -1972,6 +2000,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_winnow_fp": (text_winnow_fp, _WINNOW_SQL),
     "text_doubled_tokens": (text_doubled_tokens, _DOUBLED_SQL),
     "text_repetition": (text_repetition, _REPETITION_SQL),
+    "text_unigram_surprise": (text_unigram_surprise, _UNIGRAM_SURPRISE_SQL),
     # corpus-construction suite
     "corpus_stratified_sample": (corpus_stratified_sample, _STRAT_SAMPLE_SQL),
     "corpus_redact_pii": (corpus_redact_pii, _REDACT_SQL),

@@ -785,6 +785,19 @@ def test_curate_substring_dedup_stage(spark):
     assert "重複" in "".join(s["text"] for s in got["0"]["spans"])
 
 
+def test_unigram_surprise_exact_bits(spark):
+    """Hand-computed: corpus 'a a b' + 'b c' has counts a:2 b:2 c:1,
+    N=5 → bits_total=3, bits(a)=bits(b)=2, bits(c)=1."""
+    df = spark.createDataFrame(
+        [(1, "a A b"), (2, "b c"), (3, ""), (4, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in textstats.unigram_surprise(df).collect()}
+    assert (out[1]["n_tokens"], out[1]["surprise_bits"], out[1]["mean_surprise_milli"]) == (3, 3, 1000)
+    assert (out[2]["n_tokens"], out[2]["surprise_bits"], out[2]["mean_surprise_milli"]) == (2, 3, 1500)
+    for blank in (3, 4):
+        assert (out[blank]["n_tokens"], out[blank]["surprise_bits"]) == (0, 0)
+
+
 def test_simhash_band_refinement_superset(spark):
     """Band refinement is monotone at ANY hamming threshold: a pair
     caught by a 30-bit band match is necessarily caught by 15-bit
