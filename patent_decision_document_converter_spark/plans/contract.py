@@ -911,14 +911,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_fingerprints(_t(spark, sf_dir, "documents"))
 
 
-# shared CTE chain: both 60-bit fingerprint words (word 0 = md5(tok),
-# word 1 = md5('w2:' || tok) — independent md5 streams)
+# shared CTE chain: both 60-bit fingerprint words sliced from ONE md5
+# digest (word 0 = hex digits 1-15, word 1 = digits 17-31 — disjoint bits)
 _SIMHASH_FP_CTES = f"""
 t AS (SELECT doc_id, {_SQL_TOKS} AS toks
            FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents)),
 tk AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t),
 th AS (SELECT doc_id, {_SQL_H60.format(x="tok")} AS h,
-               {_SQL_H60.format(x="'w2:' || tok")} AS h2 FROM tk),
+               CAST('0x' || substr(md5(tok), 17, 15) AS BIGINT) AS h2 FROM tk),
 bits AS (SELECT doc_id, b,
                 SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s,
                 SUM(CASE WHEN (h2 >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s2
