@@ -819,6 +819,11 @@ def _diagonal_runs(
         )
         .select(F.col(id_col), "pos", md5_long(F.col("shingle")).alias("sh_hash"))
     )
+    # Both join sides consume pos_sh, so its subtree plans twice — and
+    # measurement says LEAVE IT: persisting the wide shingle table was
+    # A/B-tested 1.5-1.8x SLOWER at sf0.1 (5.8s vs 3.2s) because
+    # materializing every (id, pos, hash) row costs more than re-running
+    # the tokenize+shingle+md5 pipeline fused into each shuffle write.
     a = pos_sh.alias("a").join(
         pairs.select("id_a", "id_b").alias("p"), F.col(f"a.{id_col}") == F.col("p.id_a")
     )
