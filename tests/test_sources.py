@@ -33,6 +33,31 @@ def test_jsonl_roundtrip_and_convert(spark, tmp_path_factory):
     assert orig == rt  # JSONL round-trip is conversion-lossless
 
 
+def test_gzipped_jsonl_ingestion(spark, tmp_path_factory):
+    """Crawl dumps arrive as .jsonl.gz; Spark's Hadoop codecs decompress
+    transparently, so the SAME schema-pinned reader must ingest gzipped
+    lines byte-identically to plain JSONL.  (Note for 100 TB: gzip is
+    NOT splittable — one file = one task — so upstream dumps should be
+    many ~100 MB-1 GB files; the reader parallelizes across files.)"""
+    import gzip
+    import json as json_mod
+
+    base = str(tmp_path_factory.mktemp("jsonlgz"))
+    rows = make_documents_rows(20, seed=29, mega_frac=0.0)
+    os.makedirs(os.path.join(base, "gz"), exist_ok=True)
+    # two .gz shards, to exercise the file-parallel path
+    for shard in range(2):
+        with gzip.open(os.path.join(base, "gz", f"part-{shard}.jsonl.gz"), "wt", encoding="utf-8") as f:
+            for r in rows[shard::2]:
+                f.write(json_mod.dumps({"doc_id": r["doc_id"], "spans": r["spans"]}, ensure_ascii=False) + "\n")
+
+    back = ingest.read_documents_jsonl(spark, os.path.join(base, "gz"))
+    df = create_documents_df(spark, rows)
+    orig = {r["doc_id"]: r.asDict(recursive=True) for r in convert_documents(df, "pct").collect()}
+    rt = {r["doc_id"]: r.asDict(recursive=True) for r in convert_documents(back, "pct").collect()}
+    assert orig == rt
+
+
 def test_raw_text_dir_ingestion(spark, tmp_path_factory):
     base = str(tmp_path_factory.mktemp("rawtxt"))
     rows = make_documents_rows(10, seed=23, media_spans=0, mega_frac=0.0)
