@@ -104,6 +104,7 @@ ADV_SUBSET = [
     "text_token_stats",
     "text_winnow_fp",
     "text_repetition",
+    "text_unigram_surprise",
     "corpus_token_batches",
 ]
 
