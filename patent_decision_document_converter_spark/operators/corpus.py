@@ -288,3 +288,56 @@ def token_batches(
         "n_tokens",
         F.floor(F.sum("n_tokens").over(w) / F.lit(int(budget_tokens))).cast("long").alias("batch_id"),
     )
+
+
+def export_training_batches(
+    df: DataFrame,
+    budget_tokens: int,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fmt: str = "jsonl",
+) -> dict:
+    """Materialize token-budget training shards: assign batches with
+    :func:`token_batches`, join the text back, and write one output
+    partition per ``batch_id`` (jsonl for tokenizer pipelines, parquet
+    for Spark consumers).  Returns a manifest dict
+    (n_docs, n_batches, total_tokens, max_batch_tokens).
+
+    Scale shape: the batch assignment is the audited cumsum window; the
+    write repartitions BY batch_id so each shard is produced by one task
+    and lands as one partition directory (batches are budget-sized, so
+    shard volumes are uniform by construction — no skew).  The manifest
+    aggregation reuses the assignment frame (one extra small agg, no
+    second corpus scan).
+    """
+    from ..functions.cachereg import track
+
+    batches = track(token_batches(df, budget_tokens, id_col, text_col))
+    joined = df.select(F.col(id_col), F.col(text_col)).join(batches, id_col)
+    writer = (
+        joined.repartition(F.col("batch_id"))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+    )
+    if fmt == "jsonl":
+        writer.json(path)
+    elif fmt == "parquet":
+        writer.parquet(path)
+    else:
+        raise ValueError(f"unknown fmt {fmt!r} (jsonl|parquet)")
+    m = batches.groupBy("batch_id").agg(F.count("*").alias("docs"), F.sum("n_tokens").alias("toks"))
+    r = m.agg(
+        F.count("*").alias("n_batches"),
+        F.sum("docs").alias("n_docs"),
+        F.sum("toks").alias("total_tokens"),
+        F.max("toks").alias("max_batch_tokens"),
+    ).head()
+    return {
+        "n_batches": int(r["n_batches"] or 0),
+        "n_docs": int(r["n_docs"] or 0),
+        "total_tokens": int(r["total_tokens"] or 0),
+        "max_batch_tokens": int(r["max_batch_tokens"] or 0),
+        "budget_tokens": int(budget_tokens),
+        "format": fmt,
+    }

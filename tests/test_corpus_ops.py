@@ -179,3 +179,30 @@ def test_token_batches_overshoot_bounded_by_one_doc(spark):
     assert {(r["doc_id"], r["batch_id"]) for r in out} == {
         (r["doc_id"], r["batch_id"]) for r in out2
     }
+
+
+def test_export_training_batches_shards_and_manifest(spark, tmp_path_factory):
+    """The training-shard sink: one partition dir per batch_id, every doc
+    present exactly once with its text intact, manifest totals match, and
+    each shard respects the budget + one-doc overshoot bound."""
+    import os
+
+    from patent_decision_document_converter_spark.functions.cachereg import release_cached
+
+    base = str(tmp_path_factory.mktemp("shards"))
+    rows = [(i, ("tok " * (10 + (i * 37) % 90)).strip()) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m = corpus.export_training_batches(df, budget_tokens=300, path=base, fmt="jsonl")
+    release_cached()
+    assert m["n_docs"] == 60
+    assert m["total_tokens"] == sum(10 + (i * 37) % 90 for i in range(60))
+    assert m["max_batch_tokens"] < 300 + 99  # budget + max single doc
+
+    dirs = [d for d in os.listdir(base) if d.startswith("batch_id=")]
+    assert len(dirs) == m["n_batches"]
+    back = spark.read.json(f"{base}/batch_id=*")
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert got == dict(rows)
+    # per-shard budget check from the written data itself
+    shard = spark.read.json(os.path.join(base, dirs[0]))
+    assert shard.agg({"n_tokens": "sum"}).head()[0] < 300 + 99
