@@ -378,7 +378,10 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("common"))
     )
     if candidates is not None:
-        common = common.join(F.broadcast(candidates), ["id_a", "id_b"], "left_semi")
+        # no broadcast hint: the candidate set scales WITH the corpus
+        # (LSH pair volume), so a pinned broadcast would OOM the driver at
+        # scale — AQE broadcasts automatically whenever the set is small
+        common = common.join(candidates, ["id_a", "id_b"], "left_semi")
 
     out = (
         common.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_shingles", "sa"), "id_a")
