@@ -94,8 +94,8 @@ def tfidf_top_terms(
 
     Plan: tokenize (per-row) → explode → tf agg (shuffle 1 on
     (doc, term)) → df agg (shuffle 2 on term, result is vocab-sized) →
-    broadcast-join idf back → per-doc top-k window.  At corpus scale the
-    idf table is the vocabulary (small vs corpus) and broadcasts; the
+    idf join back → per-doc top-k window.  At corpus scale the idf
+    table is the vocabulary (small vs corpus; AQE broadcasts it); the
     window partitions by doc — no global sort.
     """
     from pyspark.sql import Window
@@ -118,7 +118,11 @@ def tfidf_top_terms(
         "term",
         F.floor(F.lit(int(idf_scale) * int(n_docs)) / F.col("df")).cast("long").alias("idf"),
     )
-    scored = tf.join(F.broadcast(idf), "term").select(
+    # no broadcast hint: the vocabulary is usually tiny relative to the
+    # corpus (AQE broadcasts it at runtime when so), but a web-scale
+    # crawl's junk-token vocabulary can run to 10^9 terms — a pinned
+    # broadcast would OOM the driver exactly when it matters
+    scored = tf.join(idf, "term").select(
         id_col, "term", (F.col("tf") * F.col("idf")).alias("score")
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))

@@ -315,8 +315,8 @@ def unigram_surprise(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     Blank/NULL docs emit 0s.
 
     Plan (same scale shape as tf-idf): tokenize → corpus unigram counts
-    (vocab-sized aggregation) → BROADCAST the vocabulary back onto the
-    token stream → per-doc sum keyed on the id the corpus is already
+    (vocab-sized aggregation) → vocabulary join back onto the token
+    stream (AQE broadcasts it while it fits) → per-doc sum keyed on the id the corpus is already
     partitioned by.  N comes from summing the vocab table (tiny), not a
     second corpus scan.
     """
@@ -328,7 +328,9 @@ def unigram_surprise(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     counts = tk.groupBy("term").agg(F.count("*").alias("cnt"))
     total = counts.agg(F.sum("cnt")).head()[0] or 0
     bits_total = int(total).bit_length()
-    scored = tk.join(F.broadcast(counts), "term").select(
+    # vocabulary join left to AQE (same reasoning as tfidf_top_terms: a
+    # junk-heavy web vocabulary can outgrow any pinned broadcast)
+    scored = tk.join(counts, "term").select(
         F.col(id_col),
         (F.lit(bits_total) - F.length(F.conv(F.col("cnt"), 10, 2))).alias("s"),
     )
