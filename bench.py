@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "corpus_tfidf_top_terms",
     "corpus_html_main_content",
     "corpus_token_batches",
+    "corpus_chunk_docs",
     "convert_interleaved_spans",
     "text_token_stats",
     "text_quality",

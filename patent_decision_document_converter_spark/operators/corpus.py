@@ -345,3 +345,58 @@ def export_training_batches(
         "budget_tokens": int(budget_tokens),
         "format": fmt,
     }
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window context chunking — the step that turns long
+    documents into training-window-sized pieces: chunk ``i`` covers
+    whitespace tokens ``[i*stride, i*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap`` (the overlap keeps context
+    across boundaries).  The last chunk may be short; blank docs emit
+    no chunks; a doc at or under one window is one chunk.  Chunk text
+    is the whitespace-NORMALIZED token stream re-joined (byte-exact
+    source offsets would need per-token offset tracking, which token
+    windows deliberately abstract away).
+
+    n_chunks = 1                                      if n <= chunk_tokens
+             = 1 + ceil((n - chunk_tokens) / stride)  otherwise
+    (integer-exact: ceil(a/b) = (a + b - 1) // b).
+
+    Entirely per-row: tokenize → transform over the chunk-start sequence
+    → posexplode.  No shuffle; 1→N fan-out only.  Output:
+    (id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    from ..operators.textstats import ws_tokens
+
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toked = df.select(F.col(id_col), ws_tokens(text_col).alias("_toks"))
+    n = F.size("_toks")
+    extra = F.floor(
+        (n - F.lit(chunk_tokens) + F.lit(stride - 1)) / F.lit(stride)
+    ).cast("int")
+    n_chunks = F.when(n <= 0, F.lit(0)).when(
+        n <= chunk_tokens, F.lit(1)
+    ).otherwise(F.lit(1) + extra)
+    chunks = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.slice(F.col("_toks"), i * stride + 1, chunk_tokens),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    return toked.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_chunk")
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size("_chunk").cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.col("_chunk")).alias("chunk_text"),
+    )

@@ -1574,6 +1574,42 @@ FROM c
 """
 
 
+def corpus_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (40-token windows, 8-token overlap):
+    every chunk's token count and content digest, both replayed exactly
+    by the oracle's list-slice arithmetic."""
+    from ..operators import corpus
+
+    out = corpus.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=40, overlap=8
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "chunk_id",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+# stride = 40 - 8 = 32; n_chunks = 1 + ceil((n-40)/32) above one window
+_CHUNK_DOCS_SQL = f"""
+WITH t AS (SELECT doc_id, {_SQL_WSTOKS} AS toks FROM documents),
+p AS (SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= 0 THEN 0
+                  WHEN len(toks) <= 40 THEN 1
+                  ELSE 1 + (len(toks) - 40 + 31) // 32 END AS n_chunks
+      FROM t),
+c AS (SELECT doc_id, i AS chunk_id,
+             toks[i * 32 + 1 : i * 32 + 40] AS chunk
+      FROM p, LATERAL (SELECT unnest(range(n_chunks)) AS i))
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_md5
+FROM c
+"""
+
+
 def corpus_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML boilerplate strip + link-density DOM heuristic (north_rule's
     main-content extraction) under a hard oracle: wrap each document's
@@ -2007,6 +2043,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "corpus_tfidf_top_terms": (corpus_tfidf_top_terms, _TFIDF_SQL),
     "corpus_html_main_content": (corpus_html_main_content, _HTML_MAIN_SQL),
     "corpus_token_batches": (corpus_token_batches, _TOKEN_BATCHES_SQL),
+    "corpus_chunk_docs": (corpus_chunk_docs, _CHUNK_DOCS_SQL),
     # multimodal plumbing
     "media_features": (media_features, _MEDIA_FEATURES_SQL),
     "media_features_real": (media_features_real, _MEDIA_REAL_SQL),

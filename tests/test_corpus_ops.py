@@ -206,3 +206,38 @@ def test_export_training_batches_shards_and_manifest(spark, tmp_path_factory):
     # per-shard budget check from the written data itself
     shard = spark.read.json(os.path.join(base, dirs[0]))
     assert shard.agg({"n_tokens": "sum"}).head()[0] < 300 + 99
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    """Hand-computed sliding windows: 100 tokens at chunk=40/overlap=8
+    (stride 32) -> chunks [0:40), [32:72), [64:100); boundary cases at
+    n=40 (one chunk), n=41 (two), blank docs (none)."""
+    toks100 = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [
+            (1, toks100),
+            (2, " ".join(f"t{i}" for i in range(40))),
+            (3, " ".join(f"t{i}" for i in range(41))),
+            (4, "a b"),
+            (5, ""),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = corpus.chunk_documents(df, chunk_tokens=40, overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+    assert set(by_doc[1]) == {0, 1, 2}
+    assert [by_doc[1][i]["n_chunk_tokens"] for i in (0, 1, 2)] == [40, 40, 36]
+    assert by_doc[1][1]["chunk_text"].split(" ")[0] == "t32"   # overlap start
+    assert by_doc[1][2]["chunk_text"].split(" ")[-1] == "t99"  # tail covered
+    assert set(by_doc[2]) == {0} and by_doc[2][0]["n_chunk_tokens"] == 40
+    assert set(by_doc[3]) == {0, 1} and by_doc[3][1]["n_chunk_tokens"] == 9
+    assert set(by_doc[4]) == {0} and by_doc[4][0]["chunk_text"] == "a b"
+    assert 5 not in by_doc and 6 not in by_doc  # blank docs emit no chunks
+    # every token index appears in at least one chunk (coverage law)
+    covered = set()
+    for r in by_doc[1].values():
+        covered.update(r["chunk_text"].split(" "))
+    assert covered == {f"t{i}" for i in range(100)}
