@@ -23,6 +23,7 @@ SUBSET = [
     "dedup_exact",
     "text_repetition",
     "corpus_token_batches",
+    "corpus_chunk_docs",
     "media_features",
     "convert_office_action",
     "convert_interleaved_spans",

@@ -208,6 +208,19 @@ def test_export_training_batches_shards_and_manifest(spark, tmp_path_factory):
     assert shard.agg({"n_tokens": "sum"}).head()[0] < 300 + 99
 
 
+def test_chunk_documents_no_shuffle(spark):
+    """Chunking is per-row 1→N fan-out only — its plan must carry no
+    Exchange (a shuffle here would move every document's text twice)."""
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    plan = (
+        corpus.chunk_documents(df, chunk_tokens=3, overlap=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
 def test_chunk_documents_windows_and_overlap(spark):
     """Hand-computed sliding windows: 100 tokens at chunk=40/overlap=8
     (stride 32) -> chunks [0:40), [32:72), [64:100); boundary cases at
