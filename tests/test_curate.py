@@ -77,3 +77,49 @@ def test_curate_repetition_gate(spark):
     )
     assert m["after_quality"] == 2
     assert m["after_repetition"] == 1  # looper dropped by the dup-line gate
+
+
+def test_curate_cli_end_to_end(spark, tmp_path_factory):
+    """The spark-submit-shaped CLI path: python -m ...plans.curate over a
+    staged parquet corpus, with the substring-dedup flag — exercises
+    argparse wiring, the metrics JSON line, and the output write."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from patent_decision_document_converter_spark.sources.documents import (
+        create_documents_df,
+    )
+    from patent_decision_document_converter_spark.sources.generator import (
+        make_documents_rows,
+    )
+
+    base = str(tmp_path_factory.mktemp("curate_cli"))
+    rows = make_documents_rows(12, seed=41, mega_frac=0.0)
+    create_documents_df(spark, rows).write.parquet(f"{base}/in")
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = "4"
+    res = subprocess.run(
+        [
+            sys.executable, "-m",
+            "patent_decision_document_converter_spark.plans.curate",
+            "--input", f"{base}/in",
+            "--output", f"{base}/out",
+            "--mode", "pct",
+            "--min-chars", "5",
+            "--substring-dedup-min-run", "2",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+        timeout=480,
+    )
+    assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
+    metrics = json.loads(res.stdout.strip().splitlines()[-1])
+    assert metrics["input_docs"] == 12
+    assert "substring_cut_docs" in metrics
+    curated = spark.read.parquet(f"{base}/out")
+    assert curated.count() == metrics["curated_docs"] > 0
