@@ -262,35 +262,76 @@ def token_batches(
     budget_tokens: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    num_ranges: int | None = None,
 ) -> DataFrame:
     """Assign documents to training batches under a token budget:
     order by (token_count DESC, id), then ``batch_id =
     floor(inclusive_cumsum(tokens) / budget)`` — the cumulative-sum
     approximation of next-fit packing that large-data pipelines actually
-    use: fully deterministic, one window pass, and every batch's total
-    overshoots the budget by LESS THAN ONE document (exact first-fit-
-    decreasing is inherently sequential state and cannot be expressed as
-    a distributed window).  Length-descending order keeps batches
-    length-homogeneous (less padding waste).
+    use: fully deterministic, one window pass per range, and every
+    batch's total overshoots the budget by LESS THAN ONE document (exact
+    first-fit-decreasing is inherently sequential state and cannot be
+    expressed as a distributed window).  Length-descending order keeps
+    batches length-homogeneous (less padding waste).
 
-    Scale note: the cumsum window is UNPARTITIONED (a global total
-    order).  That is fine for ≤ ~10^8 rows of (id, count) pairs; at
-    corpus scale, first range-partition by the same sort key
-    (``repartitionByRange``) and run the cumsum per range with offsets
-    from the per-range totals — same arithmetic, two small passes.
+    Scale plan — RANGE-PARTITIONED cumsum, no global single-task sort
+    (the r2/r3 version ran ONE unpartitioned window = one task owning
+    the whole corpus at 10^9+ rows):
+
+    1. ``repartitionByRange(num_ranges)`` on the exact packing key
+       (n_tokens DESC, id ASC): non-overlapping sorted key ranges, one
+       per partition; persisted, because the materialized partition ids
+       feed two plan branches and must agree.
+    2. local inclusive cumsum per range (window PARTITIONED by the range
+       id — every task sorts only its own range),
+    3. per-range totals (num_ranges rows) → range offsets via a window
+       over that TINY frame (the only single-partition step left: its
+       input is one row per range, not per doc),
+    4. broadcast the offsets back; global_cumsum = offset + local_cumsum.
+
+    The arithmetic is identical to the global window (ranges are sorted
+    and disjoint), so batch ids are byte-identical to the naive plan —
+    pinned in tests, along with the plan guard that no per-doc exchange
+    collapses to a single partition.
     """
     from pyspark.sql import Window
 
+    from ..functions.cachereg import track
     from ..operators.textstats import ws_tokens
 
+    if num_ranges is None:
+        num_ranges = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     counted = df.select(F.col(id_col), F.size(ws_tokens(text_col)).alias("n_tokens"))
-    w = Window.orderBy(F.desc("n_tokens"), F.asc(id_col)).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    key = [F.desc("n_tokens"), F.asc(id_col)]
+    ranged = track(
+        counted.repartitionByRange(num_ranges, *key).withColumn(
+            "_range_id", F.spark_partition_id()
+        )
     )
-    return counted.select(
+    w_local = (
+        Window.partitionBy("_range_id")
+        .orderBy(*key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("_local_cum", F.sum("n_tokens").over(w_local))
+    w_offsets = (
+        Window.orderBy("_range_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    offsets = (
+        ranged.groupBy("_range_id")
+        .agg(F.sum("n_tokens").alias("_range_total"))
+        .select(
+            "_range_id",
+            F.coalesce(F.sum("_range_total").over(w_offsets), F.lit(0)).alias("_offset"),
+        )
+    )
+    return local.join(F.broadcast(offsets), "_range_id").select(
         F.col(id_col),
         "n_tokens",
-        F.floor(F.sum("n_tokens").over(w) / F.lit(int(budget_tokens))).cast("long").alias("batch_id"),
+        F.floor((F.col("_offset") + F.col("_local_cum")) / F.lit(int(budget_tokens)))
+        .cast("long")
+        .alias("batch_id"),
     )
 
 
@@ -376,6 +417,11 @@ def chunk_documents(
 
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
+    if overlap < 0:
+        # a negative overlap makes stride exceed chunk_tokens and would
+        # silently skip tokens between consecutive chunks, breaking the
+        # full-coverage property
+        raise ValueError("overlap must be >= 0")
     stride = chunk_tokens - overlap
     toked = df.select(F.col(id_col), ws_tokens(text_col).alias("_toks"))
     n = F.size("_toks")

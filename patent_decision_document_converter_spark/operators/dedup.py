@@ -579,6 +579,17 @@ def simhash_near_dups(
     if bits % band_bits != 0:
         raise ValueError(f"band_bits={band_bits} must divide bits={bits}")
     words = 2 if "fingerprint2" in fps.columns else 1
+    if band_bits > 15 and words == 1:
+        # a 60-bit single-word fingerprint banded at 30 bits is only 2
+        # bands: the pigeonhole guarantee silently drops from hamming<=3
+        # to hamming<=1 and near-dup recall collapses with no symptom —
+        # refuse instead (use simhash_fingerprints(words=2), or
+        # band_bits<=15)
+        raise ValueError(
+            f"band_bits={band_bits} needs 2-word fingerprints (no "
+            "'fingerprint2' column in fps); pass band_bits<=15 for "
+            "single-word frames"
+        )
     bpw = bits // band_bits
     n_bands = words * bpw
     mask = (1 << band_bits) - 1

@@ -315,24 +315,32 @@ def unigram_surprise(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     Blank/NULL docs emit 0s.
 
     Plan (same scale shape as tf-idf): tokenize → corpus unigram counts
-    (vocab-sized aggregation) → vocabulary join back onto the token
-    stream (AQE broadcasts it while it fits) → per-doc sum keyed on the id the corpus is already
-    partitioned by.  N comes from summing the vocab table (tiny), not a
-    second corpus scan.
+    (vocab-sized aggregation, persisted — it feeds both the N total and
+    the vocabulary join) → vocabulary join back onto the token stream
+    (AQE broadcasts it while it fits) → per-doc sum keyed on the id the
+    corpus is already partitioned by.  N = the broadcast cross-join of
+    the vocab-sum scalar (a 1-row frame), so the whole plan stays LAZY
+    and the corpus is tokenized/aggregated exactly once — no
+    plan-construction-time action.
     """
+    from ..functions.cachereg import track
     from .dedup import tokens as _norm_tokens
 
     tk = df.select(F.col(id_col), F.explode(_norm_tokens(text_col)).alias("term")).filter(
         F.col("term") != ""
     )
-    counts = tk.groupBy("term").agg(F.count("*").alias("cnt"))
-    total = counts.agg(F.sum("cnt")).head()[0] or 0
-    bits_total = int(total).bit_length()
+    counts = track(tk.groupBy("term").agg(F.count("*").alias("cnt")))
+    total = counts.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("_N"))
+    # bits(N) exactly, same conv-string derivation as bits(cnt); N=0 (an
+    # empty corpus) scores nothing anyway because the join is then empty
     # vocabulary join left to AQE (same reasoning as tfidf_top_terms: a
     # junk-heavy web vocabulary can outgrow any pinned broadcast)
-    scored = tk.join(counts, "term").select(
+    scored = tk.join(counts, "term").crossJoin(F.broadcast(total)).select(
         F.col(id_col),
-        (F.lit(bits_total) - F.length(F.conv(F.col("cnt"), 10, 2))).alias("s"),
+        (
+            F.length(F.conv(F.col("_N"), 10, 2))
+            - F.length(F.conv(F.col("cnt"), 10, 2))
+        ).alias("s"),
     )
     per_doc = scored.groupBy(id_col).agg(
         F.count("*").alias("n_tokens"), F.sum("s").alias("surprise_bits")

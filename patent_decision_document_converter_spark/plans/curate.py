@@ -188,8 +188,14 @@ def curate_corpus(
                     F.col("n_spans_out")
                 ).cast("int"),
             )
+            # the splice is lossy beyond the cut run (media spans, casing,
+            # original whitespace collapse into one normalized text span)
+            # — flag rewritten docs so downstream consumers can detect it
+            .withColumn("substring_cut", F.col("_new_spans").isNotNull())
             .drop("_new_spans")
         )
+    else:
+        curated = curated.withColumn("substring_cut", F.lit(False))
 
     metrics["curated_docs"] = metrics["after_near_dedup"]
     return curated, metrics

@@ -254,3 +254,44 @@ def test_chunk_documents_windows_and_overlap(spark):
     for r in by_doc[1].values():
         covered.update(r["chunk_text"].split(" "))
     assert covered == {f"t{i}" for i in range(100)}
+
+
+def test_token_batches_ranged_cumsum_matches_global_replay(spark):
+    """The range-partitioned cumsum must be byte-identical to the naive
+    global cumsum (replayed in Python over the same (n_tokens DESC, id)
+    order), and its plan must carry the scale shape: a RangePartitioning
+    exchange on the packing key and a doc-level window PARTITIONED by the
+    range id — never an unpartitioned window over the documents."""
+    import random
+
+    from patent_decision_document_converter_spark.functions.cachereg import release_cached
+
+    rng = random.Random(23)
+    rows = [(i, "w " * rng.randint(1, 120)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = corpus.token_batches(df, budget_tokens=400, num_ranges=8)
+    got = {(r["doc_id"], r["n_tokens"], r["batch_id"]) for r in out.collect()}
+
+    # naive replay: exact global cumsum in key order
+    counted = sorted(
+        ((i, len(t.split()))) for i, t in rows
+    )
+    counted.sort(key=lambda p: (-p[1], p[0]))
+    cum, expected = 0, set()
+    for i, n in counted:
+        cum += n
+        expected.add((i, n, cum // 400))
+    assert got == expected
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert "_range_id" in plan
+    # the only single-partition step is the per-range offsets window,
+    # whose input is the num_ranges-row aggregate — the doc-level window
+    # is partitioned by _range_id
+    import re
+
+    windows = [ln for ln in plan.splitlines() if "Window" in ln and "windowspecdefinition" in ln.lower()]
+    doc_windows = [ln for ln in windows if "_local_cum" in ln]
+    assert doc_windows and all("_range_id" in ln for ln in doc_windows)
+    release_cached()
