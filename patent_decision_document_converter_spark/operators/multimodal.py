@@ -5,11 +5,13 @@ The corpus schema interleaves text spans with media spans
 opaque ``binary`` columns with typed metadata, and decode / feature
 extraction runs as Arrow-batched Pandas functions via ``mapInPandas``.
 
-``decode_media(..., impl="real")`` REALLY decodes the two formats a
+``decode_media(..., impl="real")`` REALLY decodes the three formats a
 stdlib-pure container can: uncompressed 24-bit BMP (struct-parsed
-headers + pixel channel sums) and 16-bit PCM WAV (the stdlib ``wave``
-codec) — :func:`synth_media_table_real` builds genuine files of both.
-Compressed formats (jpeg/png/mp4) need PIL/ffmpeg, absent here, and
+headers + pixel channel sums), 16-bit PCM WAV (the stdlib ``wave``
+codec), and 8-bit RGB PNG (full stdlib decoder: chunk walk, zlib
+IDAT inflate, all five scanline filters incl. Paeth) —
+:func:`synth_media_table_real` / :func:`synth_media_table_png` build
+genuine files of each.  Formats needing non-stdlib codecs (jpeg/mp4)
 raise NotImplementedError at the codec call site; the default
 ``impl="fake"`` byte-histogram twin keeps the Spark-side plumbing —
 schema, Arrow batch shape, partition behavior — testable for any format.
@@ -156,17 +158,160 @@ def _decode_wav(payload: bytes) -> list[float]:
     return [float(ch), float(rate), float(n), float(sum(abs(v) for v in vals))]
 
 
+# --- PNG: a REAL stdlib decoder/encoder (zlib inflate + scanline
+# (un)filtering per the PNG spec) — reference corpus media ("figure/
+# table" spans) is most plausibly PNG, and PNG needs no PIL: the whole
+# codec is zlib + struct.  Supported profile: 8-bit RGB (color type 2),
+# no interlace — the profile the synthesizer emits and thumbnailers
+# produce.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+PNG_W = PNG_H = 8
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        _struct.pack(">I", len(body))
+        + tag
+        + body
+        + _struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _encode_png(pixels: bytes, width: int, height: int) -> bytes:
+    """Emit a VALID 8-bit RGB PNG from raw RGB bytes.  Each row takes
+    filter type ``row % 5`` — deliberately cycling through ALL five spec
+    filters (None/Sub/Up/Average/Paeth) so every synthesized file
+    exercises the decoder's full unfilter path, not just the trivial
+    one.  Deterministic: zlib level pinned, no timestamps."""
+    import zlib
+
+    bpp = 3
+    stride = width * bpp
+    prev = bytes(stride)
+    out = bytearray()
+    for r in range(height):
+        row = pixels[r * stride : (r + 1) * stride]
+        ft = r % 5
+        out.append(ft)
+        for i, x in enumerate(row):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                f = x
+            elif ft == 1:
+                f = (x - a) & 0xFF
+            elif ft == 2:
+                f = (x - b) & 0xFF
+            elif ft == 3:
+                f = (x - (a + b) // 2) & 0xFF
+            else:
+                f = (x - _png_paeth(a, b, c)) & 0xFF
+            out.append(f)
+        prev = row
+    ihdr = _struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """Full PNG parse → (width, height, raw RGB bytes): signature check,
+    chunk walk, IHDR validation (8-bit RGB, no interlace), multi-IDAT
+    concat, zlib inflate, and per-row unfilter of all five filter
+    types."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, width = 8, None
+    height = 0
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (ln,) = _struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, inter = _struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    f"unsupported PNG profile: depth={depth} color={ctype} interlace={inter}"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln  # len + tag + body + crc
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    bpp = 3
+    stride = width * bpp
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    prev = bytearray(stride)
+    pixels = bytearray()
+    for r in range(height):
+        ft = raw[r * (stride + 1)]
+        row = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        for i in range(stride):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 1:
+                row[i] = (row[i] + a) & 0xFF
+            elif ft == 2:
+                row[i] = (row[i] + b) & 0xFF
+            elif ft == 3:
+                row[i] = (row[i] + (a + b) // 2) & 0xFF
+            elif ft == 4:
+                row[i] = (row[i] + _png_paeth(a, b, c)) & 0xFF
+            elif ft != 0:
+                raise ValueError(f"bad PNG filter type {ft}")
+        pixels += row
+        prev = row
+    return width, height, bytes(pixels)
+
+
+def _decode_png(payload: bytes) -> list[float]:
+    """[width, height, sum_R, sum_G, sum_B] — PNG stores RGB (the BMP
+    twin emits BGR order); all integers, exact as doubles."""
+    w, h, pix = _png_pixels(payload)
+    sums = [0, 0, 0]
+    for i, v in enumerate(pix):
+        sums[i % 3] += v
+    return [float(w), float(h)] + [float(s) for s in sums]
+
+
 def _decode_real(payload: bytes, fmt: str) -> list[float]:
-    """The real decoder hook: BMP and PCM-WAV decode here with pure
-    stdlib codecs; compressed formats (jpeg/png/mp4) require
-    PIL/soundfile/pyav, absent in this container."""
+    """The real decoder hook: BMP, PCM-WAV and 8-bit-RGB PNG decode here
+    with pure stdlib codecs; jpeg/mp4 require PIL/pyav, absent in this
+    container."""
     if fmt == "bmp":
         return _decode_bmp(payload)
     if fmt == "wav":
         return _decode_wav(payload)
+    if fmt == "png":
+        return _decode_png(payload)
     raise NotImplementedError(
         f"real media decode ({fmt}) requires PIL/soundfile/pyav — not installed; "
-        "bmp/wav decode natively, or use impl='fake' for the byte-histogram stand-in"
+        "bmp/wav/png decode natively, or use impl='fake' for the byte-histogram stand-in"
     )
 
 
@@ -195,6 +340,50 @@ def synth_media_table_real(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
         F.length(payload).cast("int").alias("n_bytes"),
         F.when(is_img, F.lit("bmp")).otherwise(F.lit("wav")).alias("format"),
     )
+
+
+def synth_media_table_png(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One GENUINE PNG per document: 8×8 8-bit RGB, pixel bytes =
+    the md5 chain of ``pr:<doc_id>:p{i}`` (192 bytes = 12 digests), rows
+    filtered with types 0–4 cycling, zlib-deflated IDAT with correct
+    CRCs — a valid file any viewer opens.  The zlib framing forces this
+    synth to be an Arrow-batched mapInPandas stage (no JVM deflate
+    expression exists), but the PIXELS stay oracle-replayable: a DuckDB
+    query recomputes the channel sums from the same md5 hex chain
+    without touching the binary (contract query ``media_features_png``).
+
+    ``n_pixel_bytes`` (width*height*3) is carried instead of the
+    compressed size: deflate output length is a zlib-build detail the
+    oracle must not depend on."""
+    import hashlib
+
+    n_pix = PNG_W * PNG_H * 3
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            refs, payloads = [], []
+            for doc_id in pdf[id_col].astype(str):
+                ref = f"pr:{doc_id}"
+                pix = b"".join(
+                    hashlib.md5(f"{ref}:p{i}".encode()).digest()
+                    for i in range(n_pix // 16)
+                )
+                refs.append(ref)
+                payloads.append(_encode_png(pix, PNG_W, PNG_H))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype(str),
+                    "media_ref": refs,
+                    "kind": ["image"] * len(refs),
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                    "format": ["png"] * len(refs),
+                }
+            )
+
+    return docs.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def _decode_fake(payload: bytes, fmt: str) -> list[float]:
@@ -302,16 +491,32 @@ def _resize_wav(payload: bytes, scale_denom: int) -> bytes:
     return buf.getvalue()
 
 
+def _resize_png(payload: bytes, scale_denom: int) -> bytes:
+    """Real nearest-neighbor PNG downscale: full decode (inflate +
+    unfilter), stride-sample pixels, re-encode as a VALID PNG."""
+    w, h, pix = _png_pixels(payload)
+    w2, h2 = max(1, w // scale_denom), max(1, h // scale_denom)
+    out = bytearray()
+    for r in range(h2):
+        src = (r * scale_denom) * w * 3
+        for c in range(w2):
+            p = src + (c * scale_denom) * 3
+            out += pix[p : p + 3]
+    return _encode_png(bytes(out), w2, h2)
+
+
 def _resize_real(payload: bytes, fmt: str, scale_denom: int) -> bytes:
-    """Real resize for the stdlib-decodable formats; compressed formats
-    (jpeg/png/mp4) require PIL/ffmpeg, absent in this container."""
+    """Real resize for the stdlib-decodable formats (bmp/wav/png);
+    jpeg/mp4 require PIL/ffmpeg, absent in this container."""
     if fmt == "bmp":
         return _resize_bmp(payload, scale_denom)
     if fmt == "wav":
         return _resize_wav(payload, scale_denom)
+    if fmt == "png":
+        return _resize_png(payload, scale_denom)
     raise NotImplementedError(
         f"real media resize ({fmt}) requires PIL/ffmpeg — not installed; "
-        "bmp/wav resize natively, or use impl='fake' for the byte-stride stand-in"
+        "bmp/wav/png resize natively, or use impl='fake' for the byte-stride stand-in"
     )
 
 

@@ -1775,6 +1775,58 @@ SELECT doc_id, media_ref, 'audio' AS kind, CAST({n_wav} AS BIGINT) AS n_bytes, f
 _MEDIA_REAL_SQL = _media_real_sql()
 
 
+def media_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full stdlib PNG codec under a hard oracle: genuine 8×8 RGB
+    PNGs (zlib IDAT, CRC chunks, all five scanline filters cycling per
+    row; pixel bytes = an md5 chain) are synthesized in an Arrow-batched
+    stage, REALLY decoded (inflate + unfilter) by the same decode stage
+    the corpus pipeline uses, and the channel sums are recomputed by
+    DuckDB from the md5 hex chain alone — the oracle never parses the
+    binary, so agreement proves the encoder+decoder round-trip the
+    pixels exactly.  Compressed-file size is deliberately excluded from
+    the compare (a zlib-build detail); n_pix_bytes = w*h*3 instead."""
+    from ..operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = multimodal.synth_media_table_png(docs)
+    feats = multimodal.decode_media(media, impl="real")
+    w = F.col("features")[0].cast("long")
+    h = F.col("features")[1].cast("long")
+    return feats.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "media_ref",
+        "kind",
+        (w * h * 3).alias("n_pix_bytes"),
+        F.concat_ws(
+            ",", F.transform(F.col("features"), lambda x: x.cast("long").cast("string"))
+        ).alias("feat_csv"),
+    )
+
+
+def _media_png_sql() -> str:
+    from ..operators import multimodal as _mm
+
+    n_pix = _mm.PNG_W * _mm.PNG_H * 3   # 192 pixel bytes = 12 md5 digests
+    chain = " || ".join(f"md5('pr:' || doc_id || ':p{i}')" for i in range(n_pix // 16))
+    return f"""
+WITH img AS (SELECT doc_id, 'pr:' || doc_id AS media_ref, {chain} AS pix
+             FROM documents),
+pb AS (SELECT doc_id, media_ref, j,
+              CAST('0x' || substr(pix, 2 * j + 1, 2) AS INTEGER) AS bv
+       FROM img CROSS JOIN (SELECT unnest(range({n_pix})) AS j))
+SELECT doc_id, media_ref, 'image' AS kind,
+       CAST({n_pix} AS BIGINT) AS n_pix_bytes,
+       '{_mm.PNG_W},{_mm.PNG_H},'
+       || CAST(SUM(CASE WHEN j % 3 = 0 THEN bv ELSE 0 END) AS VARCHAR) || ','
+       || CAST(SUM(CASE WHEN j % 3 = 1 THEN bv ELSE 0 END) AS VARCHAR) || ','
+       || CAST(SUM(CASE WHEN j % 3 = 2 THEN bv ELSE 0 END) AS VARCHAR) AS feat_csv
+FROM pb GROUP BY doc_id, media_ref
+"""
+
+
+_MEDIA_PNG_SQL = _media_png_sql()
+
+
 # ---------------------------------------------------------------------------
 # conversion engine — oracle = REFERENCE-computed expectations
 #
@@ -2046,18 +2098,19 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # multimodal plumbing
     "media_features": (media_features, _MEDIA_FEATURES_SQL),
     "media_features_real": (media_features_real, _MEDIA_REAL_SQL),
+    "media_features_png": (media_features_png, _MEDIA_PNG_SQL),
     # relational coverage — headline shapes first, generic demos last
     # (the demos past position 50 stay green under the in-suite gate)
+    "events_sessionize": (events_sessionize, _SESSIONIZE_SQL),
+    "events_hourly": (events_hourly, _HOURLY_SQL),
+    "events_json_extract": (events_json_extract, _JSON_SQL),
+    "events_funnel": (events_funnel, _FUNNEL_SQL),
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
     "q3_top_orders": (q3_top_orders, _Q3_SQL),
     "revenue_by_nation": (revenue_by_nation, _REV_NATION_SQL),
     "top_customer_per_nation": (top_customer_per_nation, _TOP_CUST_SQL),
     "order_priority_count": (order_priority_count, _ORDER_PRIO_SQL),
     "order_value_quartiles": (order_value_quartiles, _QUARTILES_SQL),
-    "events_sessionize": (events_sessionize, _SESSIONIZE_SQL),
-    "events_hourly": (events_hourly, _HOURLY_SQL),
-    "events_json_extract": (events_json_extract, _JSON_SQL),
-    "events_funnel": (events_funnel, _FUNNEL_SQL),
     "orders_rolling_sum": (orders_rolling_sum, _ROLLING_SQL),
     "orders_without_lineitems": (orders_without_lineitems, _ORDERS_NO_ITEMS_SQL),
     "revenue_rollup": (revenue_rollup, _ROLLUP_SQL),

@@ -312,6 +312,33 @@ def run_stream_to_memory(out: DataFrame, query_name: str, output_mode: str = "up
     return q
 
 
+def _curate_gated_stream(
+    docs: DataFrame,
+    mode: str,
+    min_chars: int,
+    min_distinct_permille: int,
+) -> DataFrame:
+    """The STATELESS prefix of streaming curation (shared by
+    :func:`curate_stream` and :func:`start_curate_near_sink`): convert
+    (same fused stage as batch), quality-gate on the extracted text —
+    per-row expressions, trivially streamable."""
+    from ..operators.textstats import ws_tokens
+    from ..plans.curate import extract_text
+
+    converted = convert_documents(docs, mode=mode)
+    clean = converted.filter(F.size("findings") == 0)
+    text = extract_text(clean).withColumn(
+        "_toks", ws_tokens("text")
+    )
+    return text.filter(
+        (F.length("text") >= min_chars)
+        & (
+            F.lit(1000) * F.size(F.array_distinct("_toks"))
+            >= F.lit(min_distinct_permille) * F.size("_toks")
+        )
+    ).drop("_toks")
+
+
 def curate_stream(
     docs: DataFrame,
     mode: str = "officeAction",
@@ -321,23 +348,197 @@ def curate_stream(
     """Streaming curation: the batch curate pipeline's stateless+dedup
     core on a document stream — convert (same fused stage), quality-gate
     on the extracted text (per-row expressions: trivially streamable),
-    exact-dedup across micro-batches (state store).  The cross-document
-    stages that need global state (LSH near-dup, clustering) stay batch
-    jobs over the sink — the standard lambda split for corpus curation.
-    """
-    from ..operators.textstats import ws_tokens
-    from ..plans.curate import extract_text
-
-    converted = convert_documents(docs, mode=mode)
-    clean = converted.filter(F.size("findings") == 0)
-    text = extract_text(clean).withColumn(
-        "_toks", ws_tokens("text")
-    )
-    gated = text.filter(
-        (F.length("text") >= min_chars)
-        & (
-            F.lit(1000) * F.size(F.array_distinct("_toks"))
-            >= F.lit(min_distinct_permille) * F.size("_toks")
-        )
-    ).drop("_toks")
+    exact-dedup across micro-batches (state store).  For the
+    NEAR-dedup-inclusive streaming pipeline use
+    :func:`start_curate_near_sink` (foreachBatch incremental state —
+    cross-batch LSH + Jaccard verify cannot ride a single in-query
+    stateful operator)."""
+    gated = _curate_gated_stream(docs, mode, min_chars, min_distinct_permille)
     return dedup_stream(gated, text_expr=F.col("text"))
+
+
+def start_curate_near_sink(
+    docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    mode: str = "officeAction",
+    min_chars: int = 20,
+    min_distinct_permille: int = 200,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    unit: str = "char",
+    jaccard_threshold_tenths: int = 8,
+    available_now: bool = True,
+):
+    """Streaming curation WITH cross-batch near-dedup — the full batch
+    ``curate_corpus`` dedup semantics (exact hash + LSH candidates +
+    integer-Jaccard verify + transitive clustering) on an unbounded
+    document stream.
+
+    Why ``foreachBatch`` and not another in-query stateful operator:
+    dropping a stream row because ANY of its LSH bands collides with
+    earlier state requires anti-joining the stream against the output of
+    its own stateful operator — unsupported in one streaming query.  The
+    incremental-batch form is the standard production shape: per
+    micro-batch, join the new docs against accumulated state tables,
+    drop matches, append the new docs' state.  State (all parquet under
+    ``state_dir``):
+
+    * ``hashes/``  (content_hash)              — exact-dedup horizon
+    * ``bands/``   (band_id, band_hash, doc_id) — LSH candidate index
+    * ``texts/``   (doc_id, text)               — Jaccard-verify corpus
+
+    Semantics per batch (mirrors batch curate_corpus stage-for-stage):
+    within-batch exact canonical (min doc_id per hash) → drop hashes
+    already in state → within-batch near-dedup via the BATCH operators
+    (minhash → banded candidates → Jaccard verify → connected
+    components, keep cluster-min) → cross-batch: band-collide against
+    state, Jaccard-verify the collided pairs against the STATE doc's
+    text (including previously DROPPED docs — that is what makes
+    transitive chains A~B, B~C drop C even when A!~C, exactly like the
+    batch connected components), drop verified dups → append survivors
+    to ``out_dir`` and ALL exact-canonical docs' bands+texts to state.
+
+    First-seen-wins replaces global cluster-min for CROSS-batch ties —
+    the one inherent stream/batch divergence (a stream cannot un-keep a
+    doc it already emitted).
+
+    Scale: every state join is keyed on (band_id, band_hash) or
+    content_hash — the same bucketed equi-join shape as batch LSH; the
+    Jaccard verify runs only on collided candidate pairs.  State grows
+    with the corpus (bands+texts): at 10^12 docs, partition the state
+    tables by band_id / hash prefix and compact periodically; an
+    eviction horizon (drop state older than the duplicate-arrival
+    window) bounds it the same way dropDuplicatesWithinWatermark bounds
+    exact state."""
+    import os
+
+    from ..operators import dedup as bdedup
+
+    hash_dir = os.path.join(state_dir, "hashes")
+    band_dir = os.path.join(state_dir, "bands")
+    text_dir = os.path.join(state_dir, "texts")
+
+    gated = _curate_gated_stream(docs, mode, min_chars, min_distinct_permille)
+
+    def _read_state(spark, path: str, schema: str) -> DataFrame:
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            return spark.createDataFrame([], schema)
+
+    def process_batch(bdf: DataFrame, epoch_id: int) -> None:
+        spark = bdf.sparkSession
+        if not bdf.head(1):
+            return
+        hashed = bdf.withColumn(
+            "content_hash",
+            F.conv(
+                F.substring(
+                    F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))),
+                    1, 15,
+                ), 16, 10,
+            ).cast("long"),
+        )
+        # within-batch exact canonical, then drop already-seen hashes.
+        # localCheckpoint (eager), NOT persist: appending to a state path
+        # triggers Spark's refresh-by-path recache, which re-resolves any
+        # cached plan reading that path against the NEW file list — a
+        # persisted `fresh` would silently recompute as empty once its
+        # own hashes were appended (its lineage anti-joins hash_dir).
+        # Checkpointing truncates the lineage, so no later state append
+        # can re-evaluate it.
+        canon = hashed.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+        firsts = hashed.join(canon, ["content_hash", "doc_id"], "left_semi")
+        seen_hashes = _read_state(spark, hash_dir, "content_hash long")
+        fresh = firsts.join(seen_hashes, "content_hash", "left_anti").localCheckpoint()
+
+        # within-batch near-dedup: the BATCH machinery verbatim
+        sigs = bdedup.minhash_signatures(
+            fresh, num_hashes=num_hashes, shingle_k=shingle_k, unit=unit
+        )
+        banded = bdedup.banded_signatures(sigs, num_hashes=num_hashes, bands=bands).persist()
+        wb_cands = (
+            banded.alias("a")
+            .join(
+                banded.alias("b"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+            .distinct()
+        )
+        wb_near = bdedup.ngram_jaccard_pairs(
+            fresh, shingle_k=shingle_k, unit=unit,
+            threshold_tenths=jaccard_threshold_tenths, candidates=wb_cands,
+        )
+        wb_clusters = bdedup.connected_components(wb_near)
+        wb_drops = wb_clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+
+        # cross-batch: band collisions vs state, Jaccard-verified against
+        # the state doc's text (kept OR dropped — transitive chains)
+        state_bands = _read_state(spark, band_dir, "band_id int, band_hash long, doc_id string")
+        # candidate pairs are state-doc × fresh-doc; ngram_jaccard_pairs
+        # emits pairs with id_a < id_b, so canonicalize the candidate
+        # orientation the same way and recover "which side is new" by
+        # membership in the fresh batch afterwards
+        xb_cands = (
+            banded.join(
+                state_bands.withColumnRenamed("doc_id", "_state_id"),
+                ["band_id", "band_hash"],
+            )
+            .select(
+                F.least("_state_id", "doc_id").alias("id_a"),
+                F.greatest("_state_id", "doc_id").alias("id_b"),
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+            .distinct()
+        )
+        state_texts = _read_state(spark, text_dir, "doc_id string, text string")
+        # shingle ONLY the docs that band-collided (semi-join below the
+        # union): per-batch verify cost tracks collision volume, not the
+        # accumulated state size
+        cand_ids = (
+            xb_cands.select(F.col("id_a").alias("doc_id"))
+            .union(xb_cands.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+        )
+        both = state_texts.union(fresh.select("doc_id", "text")).join(
+            cand_ids, "doc_id", "left_semi"
+        )
+        xb_near = bdedup.ngram_jaccard_pairs(
+            both, shingle_k=shingle_k, unit=unit,
+            threshold_tenths=jaccard_threshold_tenths, candidates=xb_cands,
+        )
+        xb_drops = (
+            xb_near.select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
+            .join(fresh.select("doc_id"), "doc_id", "left_semi")
+        )
+
+        drops = wb_drops.union(xb_drops).distinct()
+        kept = fresh.join(drops, "doc_id", "left_anti")
+        kept.write.mode("append").parquet(out_dir)
+
+        # register ALL exact-canonical docs (kept + near-dropped): future
+        # exact replicas die on the hash, future near-dups of a dropped
+        # doc die on its bands — matching batch transitive clustering.
+        # Band/text appends run BEFORE the hash append: `banded` derives
+        # from the checkpointed `fresh`, but defense-in-depth keeps every
+        # append to a path AFTER all reads of that path have been fully
+        # consumed in this batch.
+        banded.select("band_id", "band_hash", "doc_id").write.mode("append").parquet(band_dir)
+        fresh.select("doc_id", "text").write.mode("append").parquet(text_dir)
+        fresh.select("content_hash").distinct().write.mode("append").parquet(hash_dir)
+        banded.unpersist()
+
+    w = (
+        gated.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -25,6 +25,7 @@ SUBSET = [
     "corpus_token_batches",
     "corpus_chunk_docs",
     "media_features",
+    "media_features_png",
     "convert_office_action",
     "convert_interleaved_spans",
 ]

@@ -277,3 +277,75 @@ def test_curate_stream_gates_and_dedups(spark, tmp_path_factory):
     assert len(kept) == 16
     base_ids = {d.removeprefix("dup-") for d in kept}
     assert base_ids == {r["doc_id"] for r in rows}
+
+
+def test_curate_near_sink_cross_batch_transitive(spark, tmp_path_factory):
+    """Streaming curation WITH near-dedup (r3 gap: curate_stream gated on
+    exact hashes only).  Three micro-batches:
+
+      batch 1: A (canonical), U (unrelated)
+      batch 2: B = A with ~10% words changed (near-dup of A),
+               Z = exact copy of A's spans
+      batch 3: C = B with ANOTHER ~10% changed (near-dup of B;
+               ~20% away from A — below threshold vs A directly)
+
+    Expected survivors {A, U}: Z dies on the hash state, B on A's band
+    state + Jaccard verify, and C TRANSITIVELY on B's registered bands
+    even though B itself was dropped — the streaming twin of batch
+    connected-components clustering.  Batch parity: curate_corpus over
+    the union keeps exactly the same set."""
+    import time as time_mod
+
+    base = str(tmp_path_factory.mktemp("ncur"))
+    inp = os.path.join(base, "in")
+
+    words = [f"word{i:03d}" for i in range(100)]
+    a_words = list(words)
+    b_words = list(words)
+    for i in range(80, 90):
+        b_words[i] = f"chg{i:03d}"
+    c_words = list(b_words)
+    for i in range(0, 10):
+        c_words[i] = f"alt{i:03d}"
+
+    def doc(did, toks):
+        return {
+            "doc_id": did,
+            "spans": [{"kind": "text", "text": " ".join(toks), "media_ref": "", "offset": 0}],
+        }
+
+    u = doc("u-doc", [f"other{i:02d}" for i in range(60)])
+    batches = [
+        [doc("a-doc", a_words), u],
+        [doc("b-doc", b_words), doc("z-exact", a_words)],
+        [doc("c-doc", c_words)],
+    ]
+    for i, b in enumerate(batches):
+        if i:
+            time_mod.sleep(1.2)  # distinct mtimes order the micro-batches
+        create_documents_df(spark, b).coalesce(1).write.mode("append").parquet(inp)
+
+    stream = stream_job.read_documents_stream(spark, inp, max_files=1)
+    q = stream_job.start_curate_near_sink(
+        stream,
+        out_dir=os.path.join(base, "out"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        state_dir=os.path.join(base, "state"),
+        mode="pct",
+    )
+    q.awaitTermination()
+    kept = {r["doc_id"] for r in spark.read.parquet(os.path.join(base, "out")).collect()}
+    assert kept == {"a-doc", "u-doc"}
+
+    # batch parity: the batch pipeline over the union keeps the same set
+    # (cluster-min canonical == first-seen here because ids follow
+    # arrival order)
+    from patent_decision_document_converter_spark.plans.curate import curate_corpus
+
+    union = [d for b in batches for d in b]
+    curated, _ = curate_corpus(create_documents_df(spark, union), mode="pct")
+    assert {r["doc_id"] for r in curated.select("doc_id").collect()} == kept
+
+    # state tables carry ALL exact-canonical docs (incl. dropped B, C)
+    texts = {r["doc_id"] for r in spark.read.parquet(os.path.join(base, "state", "texts")).collect()}
+    assert texts == {"a-doc", "u-doc", "b-doc", "c-doc"}

@@ -396,10 +396,18 @@ def test_decode_media_fake_features(media):
         assert abs(sum(r["features"]) - 1.0) < 1e-9  # L1-normalized histogram
 
 
-def test_decode_media_real_raises_for_compressed_formats(media):
-    # the synth_media_table fixture formats are png/csv — no stdlib codec
+def test_decode_media_real_raises_for_fake_payloads(media):
+    """The fake-synth fixture carries png/csv format tags over md5-junk
+    payloads: the real path must fail LOUDLY either way — csv has no
+    stdlib codec (NotImplementedError), and the REAL png decoder rejects
+    the junk bytes at the signature check (ValueError) instead of
+    pretending to decode them."""
+    fig = media.filter(F.col("format") == "png").limit(1)
+    with pytest.raises(Exception, match="(?i)not a PNG"):
+        multimodal.decode_media(fig, impl="real").collect()
+    tab = media.filter(F.col("format") == "csv").limit(1)
     with pytest.raises(Exception, match="(?i)not installed|NotImplemented"):
-        multimodal.decode_media(media.limit(1), impl="real").collect()
+        multimodal.decode_media(tab, impl="real").collect()
 
 
 def test_real_resize_bmp_wav_roundtrip(spark):
@@ -456,14 +464,91 @@ def test_real_bmp_wav_payloads_decode(spark):
     assert fa[3] == float(sum(abs(v) for v in vals))
 
 
+def test_png_encoder_filters_pinned_by_hand(spark):
+    """Every PNG scanline filter (None/Sub/Up/Average/Paeth) pinned
+    against HAND-COMPUTED spec arithmetic on a 1×5 image — the encoder's
+    filtered byte stream is checked literally (not just via round-trip,
+    which a symmetric encoder/decoder bug would survive), then the
+    decoder must invert it exactly."""
+    import zlib
+
+    pix = bytes([1, 2, 3, 5, 7, 9, 10, 20, 30, 40, 60, 80, 100, 150, 200])
+    png = multimodal._encode_png(pix, 1, 5)
+    # extract the single IDAT chunk and inflate
+    import struct as struct_mod
+
+    pos, idat = 8, b""
+    while pos + 8 <= len(png):
+        (ln,) = struct_mod.unpack_from(">I", png, pos)
+        tag = png[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat += png[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    # hand-derived per the spec: r0 None, r1 Sub (a=0 at x<bpp),
+    # r2 Up (x-prev), r3 Average (x-(0+b)//2), r4 Paeth (predictor=b here)
+    assert raw == bytes(
+        [0, 1, 2, 3,
+         1, 5, 7, 9,
+         2, 5, 13, 21,
+         3, 35, 50, 65,
+         4, 60, 90, 120]
+    )
+    assert multimodal._png_pixels(png) == (1, 5, pix)
+    # malformed inputs fail loudly, never decode garbage
+    with pytest.raises(ValueError, match="not a PNG"):
+        multimodal._png_pixels(b"\x89PNG!!!!" + png[8:])
+    bad_profile = multimodal._PNG_SIG + multimodal._png_chunk(
+        b"IHDR", struct_mod.pack(">IIBBBBB", 1, 5, 16, 2, 0, 0, 0)
+    )
+    with pytest.raises(ValueError, match="unsupported PNG profile"):
+        multimodal._png_pixels(bad_profile)
+
+
+def test_png_synth_decode_resize_spark(spark):
+    """End-to-end PNG path on Spark: genuine synthesized PNGs decode via
+    the Arrow-batched real path to channel sums matching an independent
+    md5-chain reconstruction, and the real NN resize emits valid smaller
+    PNGs whose pixels stride-sample the originals."""
+    docs = spark.createDataFrame([(0,), (1,), (7,)], "doc_id long")
+    media = multimodal.synth_media_table_png(docs)
+    rows = {r["doc_id"]: r for r in media.collect()}
+    assert bytes(rows["7"]["payload"])[:8] == multimodal._PNG_SIG
+    assert rows["7"]["format"] == "png" and rows["7"]["kind"] == "image"
+
+    feats = {r["doc_id"]: r for r in multimodal.decode_media(media, impl="real").collect()}
+    for d in ("0", "1", "7"):
+        pix = b"".join(
+            hashlib.md5(f"pr:{d}:p{i}".encode()).digest() for i in range(192 // 16)
+        )
+        want = [0, 0, 0]
+        for i, b in enumerate(pix):
+            want[i % 3] += b
+        assert feats[d]["features"] == [8.0, 8.0] + [float(x) for x in want]
+
+    out = {r["doc_id"]: r for r in multimodal.resize_media(media, scale_denom=2, impl="real").collect()}
+    w, h, small = multimodal._png_pixels(bytes(out["7"]["payload"]))
+    assert (w, h) == (4, 4)
+    pix7 = b"".join(
+        hashlib.md5(f"pr:7:p{i}".encode()).digest() for i in range(192 // 16)
+    )
+    expect = bytearray()
+    for r in range(4):
+        for c in range(4):
+            p = (r * 2) * 8 * 3 + (c * 2) * 3
+            expect += pix7[p : p + 3]
+    assert small == bytes(expect)
+
+
 def test_resize_media(media):
     out = multimodal.resize_media(media.limit(4), scale_denom=4).collect()
     assert len(out) == 4
     for r in out:
         assert r["n_bytes"] == 8  # 32 bytes / 4
         assert r["scale_denom"] == 4
+    tab = media.filter(F.col("format") == "csv").limit(1)
     with pytest.raises(Exception, match="(?i)not installed|NotImplemented"):
-        multimodal.resize_media(media.limit(1), impl="real").collect()
+        multimodal.resize_media(tab, impl="real").collect()
 
 
 def test_sample_frames_fanout(media):
