@@ -902,15 +902,21 @@ def remove_common_runs(
     diagonal, then lowest start — so the DuckDB oracle replays the
     identical choice.
 
-    The emitted text is over NORMALIZED tokens (lowercased,
-    whitespace-collapsed — the same token stream the shingles were built
-    from); exact source-byte surgery would need byte offsets that token
-    shingling deliberately abstracts away.
+    The splice is SOURCE-BYTE surgery: shingle token index ``i`` maps 1:1
+    onto the i-th whitespace-delimited raw token (normalization only
+    lowercases and collapses separators, never changes token boundaries),
+    so the cut span's character range is recovered from the raw token /
+    separator runs (``regexp_extract_all`` over the original text) and
+    ``new_text = text[:cut_start] + text[cut_end:]`` — every kept byte is
+    byte-identical to the source (casing, tabs, newlines preserved).  A
+    cut reaching the last token also drops the trailing whitespace run.
+    The whitespace class is spelled out ([ \\t\\n\\x0b\\f\\r]) because
+    RE2's \\s excludes \\x0b — keeps the DuckDB oracle byte-identical.
 
     Scale shape: everything up to the per-doc argmin is
     :func:`_diagonal_runs` (candidate-bounded); the argmin is one window
-    over (id_b) and the splice is a per-row ``filter`` lambda over the
-    token array — no extra shuffle beyond the token-array join.
+    over (id_b) and the offset recovery is per-row linear lambda work on
+    AFFECTED docs only — no extra shuffle beyond the doc join.
     """
     runs = _diagonal_runs(df, pairs, shingle_k, id_col, text_col).filter(
         F.col("run") >= min_run
@@ -928,16 +934,51 @@ def remove_common_runs(
             (F.col("run") + F.lit(shingle_k - 1)).alias("n_cut"),
         )
     )
-    toked = df.select(F.col(id_col).alias("id_b"), tokens(text_col).alias("_toks"))
-    spliced = toked.join(best, "id_b").select(
+    ws_re = "[ \\t\\n\\x0b\\f\\r]"  # Java regex, passed as a lit (no SQL unescape)
+    raw = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("_txt"),
+        F.regexp_extract_all(
+            F.col(text_col), F.lit("[^ \\t\\n\\x0b\\f\\r]+"), F.lit(0)
+        ).alias("_rtoks"),
+        F.regexp_extract_all(F.col(text_col), F.lit(ws_re + "+"), F.lit(0)).alias("_seps"),
+        F.when(F.col(text_col).rlike("^" + ws_re), F.lit(1)).otherwise(F.lit(0)).alias("_h"),
+    )
+    joined = raw.join(best, "id_b")
+    lead = F.when(F.col("_h") == 1, F.length(F.element_at("_seps", 1))).otherwise(F.lit(0))
+
+    def tok_start(s: Column) -> Column:
+        # 0-based char offset where raw token s starts; valid for
+        # 0 <= s < size(_rtoks) (every summed separator index exists
+        # because a token always follows it).  element_at indices are INT.
+        s = s.cast("int")
+        return F.when(s <= 0, lead).otherwise(
+            lead
+            + F.aggregate(
+                F.sequence(F.lit(0), s - 1),
+                F.lit(0),
+                lambda acc, j: acc
+                + F.length(F.element_at(F.col("_rtoks"), j + 1))
+                + F.length(F.element_at(F.col("_seps"), j + F.col("_h") + 1)),
+            )
+        )
+
+    cut = joined.select(
+        "id_b",
+        "src_id",
+        "_txt",
+        "n_cut",
+        tok_start(F.col("start_b")).alias("_cut_start"),
+        F.when(
+            F.col("start_b") + F.col("n_cut") >= F.size("_rtoks"), F.length("_txt")
+        ).otherwise(tok_start(F.col("start_b") + F.col("n_cut"))).alias("_cut_end"),
+    )
+    spliced = cut.select(
         F.col("id_b").alias(id_col),
         "src_id",
-        F.concat_ws(
-            " ",
-            F.filter(
-                F.col("_toks"),
-                lambda t, i: (i < F.col("start_b")) | (i >= F.col("start_b") + F.col("n_cut")),
-            ),
+        F.concat(
+            F.substring("_txt", F.lit(1), F.col("_cut_start")),
+            F.substring("_txt", F.col("_cut_end") + 1, F.length("_txt")),
         ).alias("new_text"),
         F.col("n_cut").cast("long").alias("removed_tokens"),
     )

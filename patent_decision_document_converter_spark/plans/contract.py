@@ -855,8 +855,11 @@ FROM runs GROUP BY id_a, id_b
 def dedup_remove_common_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring dedup END-TO-END: after finding the duplicated span
     (dedup_common_run), CUT it from the lower-priority doc (keep-one-
-    occurrence, Lee et al. §4) and re-emit the text.  The oracle replays
-    the identical island/argmin choice and list-splice in SQL."""
+    occurrence, Lee et al. §4) and re-emit the text with every kept byte
+    identical to the source (casing/whitespace preserved — the cut span's
+    char offsets are recovered from raw token/separator runs).  The
+    oracle replays the identical island/argmin choice AND the offset
+    arithmetic in SQL."""
     docs = _t(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(docs)
     pairs = dedup.minhash_lsh_candidates(sigs)
@@ -892,16 +895,35 @@ best AS (SELECT id_b, id_a AS src_id, start_a - diag AS start_b, run + 2 AS n_cu
          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_b
                          ORDER BY run DESC, id_a, diag, start_a) AS rn
                FROM runs)
-         WHERE rn = 1)
-SELECT b.id_b AS doc_id,
-       b.src_id,
-       -- COALESCE: DuckDB array_to_string([]) is NULL, Spark concat_ws is ''
-       md5(COALESCE(array_to_string(list_filter(t.toks,
-             (x, i) -> i < b.start_b OR i >= b.start_b + b.n_cut), ' '), '')) AS new_md5,
-       CAST(len(COALESCE(array_to_string(list_filter(t.toks,
-             (x, i) -> i < b.start_b OR i >= b.start_b + b.n_cut), ' '), '')) AS BIGINT) AS new_len,
-       CAST(b.n_cut AS BIGINT) AS removed_tokens
-FROM best b JOIN t ON t.doc_id = b.id_b
+         WHERE rn = 1),
+-- source-byte splice replay: raw token / separator runs recover the cut
+-- span's char offsets in the ORIGINAL text (class spelled out: RE2 \\s
+-- lacks \\x0b).  start_of(s) = lead + sum over j<s of len(tok_j)+len(sep_j)
+rt AS (SELECT doc_id, text,
+              regexp_extract_all(text, '[^ \t\n\x0b\f\r]+') AS rtoks,
+              regexp_extract_all(text, '[ \t\n\x0b\f\r]+') AS seps,
+              CASE WHEN regexp_matches(text, '^[ \t\n\x0b\f\r]') THEN 1 ELSE 0 END AS h
+       FROM documents),
+-- best.start_b is 1-BASED here (oracle token pos = range(1, n+1));
+-- the offset walk below is 0-based, hence the start_b - 1 shifts
+cutc AS (SELECT b.id_b, b.src_id, b.n_cut, r.text,
+                CASE WHEN r.h = 1 THEN len(r.seps[1]) ELSE 0 END
+                + COALESCE(list_sum(list_transform(range(b.start_b - 1),
+                      j -> len(r.rtoks[j + 1]) + len(r.seps[j + 1 + r.h]))), 0) AS cut_start,
+                CASE WHEN b.start_b - 1 + b.n_cut >= len(r.rtoks) THEN len(r.text)
+                     ELSE CASE WHEN r.h = 1 THEN len(r.seps[1]) ELSE 0 END
+                          + COALESCE(list_sum(list_transform(range(b.start_b - 1 + b.n_cut),
+                                j -> len(r.rtoks[j + 1]) + len(r.seps[j + 1 + r.h]))), 0)
+                END AS cut_end
+         FROM best b JOIN rt r ON r.doc_id = b.id_b)
+SELECT id_b AS doc_id,
+       src_id,
+       md5(substr(text, 1, CAST(cut_start AS INTEGER))
+           || substr(text, CAST(cut_end + 1 AS INTEGER))) AS new_md5,
+       CAST(len(substr(text, 1, CAST(cut_start AS INTEGER))
+                || substr(text, CAST(cut_end + 1 AS INTEGER))) AS BIGINT) AS new_len,
+       CAST(n_cut AS BIGINT) AS removed_tokens
+FROM cutc
 """
 
 

@@ -79,9 +79,12 @@ def curate_corpus(
     SURVIVORS, LSH candidate pairs that stayed below the whole-doc
     Jaccard threshold but share a common token run of at least this many
     word-3-shingles get the duplicated span cut from the higher doc_id's
-    text.  Affected docs are re-emitted as a single flat text span
-    (token-level splice cannot preserve positional media interleaving;
-    unaffected docs keep their span structure bit-identical)."""
+    text.  The cut is source-byte surgery (r4): every kept character of
+    the affected doc's flat text is byte-identical to the input —
+    casing and whitespace survive.  Affected docs are still re-emitted
+    as a single flat text span (the char-offset splice cannot preserve
+    positional media interleaving; unaffected docs keep their span
+    structure bit-identical) and carry ``substring_cut = true``."""
     metrics: dict[str, int] = {"input_docs": docs.count()}
 
     converted = track(convert_documents(docs, mode=mode))
@@ -188,9 +191,10 @@ def curate_corpus(
                     F.col("n_spans_out")
                 ).cast("int"),
             )
-            # the splice is lossy beyond the cut run (media spans, casing,
-            # original whitespace collapse into one normalized text span)
-            # — flag rewritten docs so downstream consumers can detect it
+            # the splice now preserves source bytes (casing/whitespace
+            # outside the cut are byte-identical), but media spans and
+            # span structure still collapse into one flat text span —
+            # flag rewritten docs so downstream consumers can detect it
             .withColumn("substring_cut", F.col("_new_spans").isNotNull())
             .drop("_new_spans")
         )

@@ -906,10 +906,11 @@ def test_simhash_band_refinement_superset(spark):
     assert wide  # non-vacuous on this corpus
 
 
-def test_remove_common_runs_output_is_contiguous_cut(spark):
-    """Invariant over a real corpus: every emitted doc equals its
-    normalized token stream with exactly ONE contiguous block of
-    ``removed_tokens`` tokens deleted."""
+def test_remove_common_runs_output_is_contiguous_byte_cut(spark):
+    """Invariant over a real corpus: every emitted doc is its ORIGINAL
+    text with exactly ONE contiguous character span deleted — every kept
+    byte identical to the source (casing/whitespace preserved), and the
+    deleted span carries exactly ``removed_tokens`` raw tokens."""
     import re
 
     td = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -918,17 +919,25 @@ def test_remove_common_runs_output_is_contiguous_cut(spark):
     out = dedup.remove_common_runs(td, cands, shingle_k=3).collect()
     assert out  # non-vacuous on this corpus
     texts = {r["doc_id"]: r["text"] for r in td.select("doc_id", "text").collect()}
-    ws = re.compile(r"[ \t\n\x0b\x0c\r]+")
+    tok_re = re.compile(r"[^ \t\n\x0b\f\r]+")
     for r in out:
-        orig = ws.sub(" ", texts[r["doc_id"]] or "").strip(" ").lower().split(" ")
-        new = r["new_text"].split(" ") if r["new_text"] else []
-        k = r["removed_tokens"]
-        assert len(new) == len(orig) - k, r["doc_id"]
-        # first divergence point marks the cut; the remainder must align
+        orig, new, k = texts[r["doc_id"]], r["new_text"], r["removed_tokens"]
+        # prefix up to first divergence is source bytes; remainder must be
+        # a source suffix (byte-identical splice)
         p = 0
         while p < len(new) and new[p] == orig[p]:
             p += 1
-        assert orig[p + k :] == new[p:], r["doc_id"]
+        assert new[:p] == orig[:p], r["doc_id"]
+        assert new[p:] == "" or orig.endswith(new[p:]), r["doc_id"]
+        # the cut really removed k whitespace-delimited tokens
+        assert len(tok_re.findall(orig)) - len(tok_re.findall(new)) == k, r["doc_id"]
+        # token boundaries survive the splice: new tokens = orig tokens
+        # minus one contiguous block of k
+        ot, nt = tok_re.findall(orig), tok_re.findall(new)
+        q = 0
+        while q < len(nt) and nt[q] == ot[q]:
+            q += 1
+        assert ot[q + k:] == nt[q:], r["doc_id"]
 
 
 def test_connected_components_checksum_mode_agrees(spark):
