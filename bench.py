@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "ann_topk_lsh_multiprobe",
     "dedup_clusters",
     "dedup_decontaminate",
+    "dedup_decontaminate_chunks",
     "dedup_common_run",
     "dedup_remove_common_run",
     "media_features",

@@ -791,6 +791,89 @@ def cross_ngram_overlap(
     )
 
 
+def decontaminate_chunks(
+    train: DataFrame,
+    evalset: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    shingle_k: int = 3,
+    min_permille: int = 500,
+    train_id: str = "doc_id",
+    eval_id: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-WINDOW-granularity decontamination:
+    :func:`~..operators.corpus.chunk_documents` → per-chunk shingle scan.
+
+    Whole-doc overlap ratios dilute buried contamination: a 40-token
+    eval answer pasted into a 4000-token document is ~1% of the doc's
+    shingles but ~100% of one 128-token training window — and the model
+    trains on WINDOWS, not docs, so the window is the unit that leaks.
+    This op chunks the corpus exactly the way batch packing would
+    (same stride arithmetic), then flags every (train doc, chunk, eval
+    doc) whose shared distinct ``shingle_k``-gram count reaches
+    ``min_permille`` of the chunk's own distinct shingles (integer
+    compare: ``1000*common >= min_permille*chunk_shingles`` — no float
+    rounding vs the DuckDB oracle).
+
+    Scale shape: chunking is per-row 1→N fan-out (no shuffle); the eval
+    shingle table BROADCASTS like :func:`cross_ngram_overlap`, so the
+    corpus side's only shuffle is the small per-hit aggregation.
+    Overlapping windows can flag the same leaked span in two adjacent
+    chunks — dedup at the (train_id, eval_id) level downstream if you
+    only need the doc verdict.
+
+    Output: (train_id, chunk_id, eval_id, n_common, n_chunk_shingles,
+    permille).
+    """
+    from .corpus import chunk_documents
+
+    chunks = chunk_documents(
+        train, chunk_tokens=chunk_tokens, overlap=overlap, id_col=train_id, text_col=text_col
+    )
+    toked = chunks.select(
+        F.col(train_id).alias("train_id"),
+        "chunk_id",
+        tokens("chunk_text").alias("_toks"),
+    )
+    csh = (
+        toked.select(
+            "train_id",
+            "chunk_id",
+            shingles_from_tokens(F.col("_toks"), shingle_k).alias("_sh"),
+        )
+        .select(
+            "train_id",
+            "chunk_id",
+            F.size("_sh").alias("n_chunk_shingles"),
+            F.explode("_sh").alias("shingle"),
+        )
+        .select("train_id", "chunk_id", "n_chunk_shingles", md5_long(F.col("shingle")).alias("sh_hash"))
+    )
+    etoked = evalset.select(F.col(eval_id).alias("eval_id"), tokens(text_col).alias("_toks"))
+    esh = (
+        etoked.select("eval_id", shingles_from_tokens(F.col("_toks"), shingle_k).alias("_sh"))
+        .select("eval_id", F.explode("_sh").alias("shingle"))
+        .select("eval_id", md5_long(F.col("shingle")).alias("sh_hash"))
+    )
+    hits = (
+        csh.join(F.broadcast(esh), "sh_hash")
+        .groupBy("train_id", "chunk_id", "n_chunk_shingles", "eval_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return hits.filter(
+        F.lit(1000) * F.col("n_common") >= F.lit(min_permille) * F.col("n_chunk_shingles")
+    ).select(
+        "train_id",
+        "chunk_id",
+        "eval_id",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.col("n_chunk_shingles").cast("long").alias("n_chunk_shingles"),
+        # integer division: exact vs the oracle's // (no float rounding)
+        F.expr("(1000 * n_common) div n_chunk_shingles").cast("long").alias("permille"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # 7. span-level duplication: longest common token run per candidate pair
 # ---------------------------------------------------------------------------

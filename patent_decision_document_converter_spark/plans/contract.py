@@ -811,6 +811,75 @@ HAVING COUNT(*) >= 2
 """
 
 
+def dedup_decontaminate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-WINDOW decontamination: chunk the train corpus into
+    32-token windows (stride 24) and flag every window whose distinct
+    3-gram shingles are >=50% shared with an eval doc — catches an eval
+    answer buried inside a long document that the doc-level overlap
+    RATIO dilutes below threshold (the model trains on windows, so the
+    window is the unit that leaks).  Eval side broadcasts; chunking is
+    per-row fan-out with no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    evalset = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    out = dedup.decontaminate_chunks(
+        train, evalset, chunk_tokens=32, overlap=8, shingle_k=3, min_permille=500
+    )
+    return out.select(
+        F.col("train_id").cast("long").alias("train_id"),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("eval_id").cast("long").alias("eval_id"),
+        F.col("n_common").cast("long").alias("n_common"),
+        F.col("n_chunk_shingles").cast("long").alias("n_chunk_shingles"),
+        F.col("permille").cast("long").alias("permille"),
+    )
+
+
+# chunk arithmetic mirror of operators.corpus.chunk_documents at
+# chunk_tokens=32, overlap=8 (stride 24); list_slice is 1-based inclusive
+# and clamps like Spark's slice(start, length)
+_DECONTAM_CHUNKS_SQL = f"""
+WITH td AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents
+            WHERE doc_id % 50 <> 0),
+wt AS (SELECT doc_id, {_SQL_WSTOKS} AS toks FROM td),
+nc AS (SELECT doc_id, toks, len(toks) AS n,
+              CASE WHEN len(toks) <= 0 THEN 0
+                   WHEN len(toks) <= 32 THEN 1
+                   ELSE 1 + (len(toks) - 32 + 23) // 24 END AS n_chunks
+       FROM wt),
+ch0 AS (SELECT doc_id, toks, unnest(range(n_chunks)) AS c FROM nc),
+ch AS (SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
+              list_transform(list_slice(toks, c * 24 + 1, c * 24 + 32),
+                             t -> lower(t)) AS ctoks
+       FROM ch0),
+csh0 AS (SELECT doc_id, chunk_id,
+                ctoks[i + 1] || ' ' || ctoks[i + 2] || ' ' || ctoks[i + 3] AS shingle
+         FROM (SELECT doc_id, chunk_id, ctoks, unnest(range(len(ctoks) - 2)) AS i
+               FROM ch WHERE len(ctoks) >= 3)),
+csh AS (SELECT DISTINCT doc_id, chunk_id, shingle FROM csh0),
+cnt AS (SELECT doc_id, chunk_id, COUNT(*) AS n_chunk_shingles
+        FROM csh GROUP BY doc_id, chunk_id),
+et AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents WHERE doc_id % 50 = 0),
+etok AS (SELECT doc_id, unnest(toks) AS tok,
+                unnest(range(1, len(toks) + 1)) AS pos FROM et),
+esh0 AS (SELECT doc_id,
+                tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
+         FROM etok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+esh AS (SELECT DISTINCT doc_id, shingle FROM esh0 WHERE shingle IS NOT NULL)
+SELECT c.doc_id AS train_id,
+       c.chunk_id,
+       e.doc_id AS eval_id,
+       CAST(COUNT(*) AS BIGINT) AS n_common,
+       CAST(MIN(n.n_chunk_shingles) AS BIGINT) AS n_chunk_shingles,
+       CAST((1000 * COUNT(*)) // MIN(n.n_chunk_shingles) AS BIGINT) AS permille
+FROM csh c
+JOIN esh e ON c.shingle = e.shingle
+JOIN cnt n ON n.doc_id = c.doc_id AND n.chunk_id = c.chunk_id
+GROUP BY c.doc_id, c.chunk_id, e.doc_id
+HAVING 1000 * COUNT(*) >= 500 * MIN(n.n_chunk_shingles)
+"""
+
+
 def dedup_common_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level duplication: longest consecutive shared 3-shingle run
     per MinHash-LSH candidate pair (lcs_tokens = max_run + 2) — the
@@ -2087,6 +2156,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_minhash_lsh": (dedup_minhash_lsh, _MINHASH_SQL),
     "dedup_clusters": (dedup_clusters, _CLUSTERS_SQL),
     "dedup_decontaminate": (dedup_decontaminate, _DECONTAM_SQL),
+    "dedup_decontaminate_chunks": (dedup_decontaminate_chunks, _DECONTAM_CHUNKS_SQL),
     "dedup_common_run": (dedup_common_run, _COMMON_RUN_SQL),
     "dedup_remove_common_run": (dedup_remove_common_run, _REMOVE_RUN_SQL),
     "dedup_shingle_overlap": (dedup_shingle_overlap, _SHINGLE_OVERLAP_SQL),

@@ -940,6 +940,43 @@ def test_remove_common_runs_output_is_contiguous_byte_cut(spark):
         assert ot[q + k:] == nt[q:], r["doc_id"]
 
 
+def test_decontaminate_chunks_catches_buried_leak(spark):
+    """A 20-token eval answer pasted into a 400-token doc is ~4.5% of
+    the doc's shingles (doc-level ratio scan at 50% misses it) but 60%
+    of the 32-token training window it lands in — the chunk-level scan
+    flags exactly that window at the same 50% threshold."""
+    answer = " ".join(f"ans{i}" for i in range(20))
+    filler = [f"fill{i}" for i in range(400)]
+    # paste at token offset 48 = 2 * stride(24): chunk 2 covers the leak
+    train_text = " ".join(filler[:48]) + " " + answer + " " + " ".join(filler[48:380])
+    train = spark.createDataFrame([(1, train_text)], "doc_id long, text string")
+    evalset = spark.createDataFrame([(100, answer)], "doc_id long, text string")
+
+    # doc-level overlap ratio is diluted far below the 50% threshold
+    doc_hits = dedup.cross_ngram_overlap(train, evalset, shingle_k=3).collect()
+    assert len(doc_hits) == 1 and doc_hits[0]["n_common"] == 18
+    n_doc_shingles = train.select(
+        F.size(dedup.shingles_from_tokens(dedup.tokens("text"), 3)).alias("n")
+    ).head()["n"]
+    assert 1000 * 18 < 500 * n_doc_shingles  # the doc-level scan misses it
+
+    # the window-level scan flags the leaking chunk at the SAME threshold
+    hits = dedup.decontaminate_chunks(
+        train, evalset, chunk_tokens=32, overlap=8, shingle_k=3, min_permille=500
+    ).collect()
+    assert [(r["train_id"], r["chunk_id"], r["eval_id"]) for r in hits] == [(1, 2, 100)]
+    assert hits[0]["n_common"] == 18  # all 18 answer shingles inside chunk 2
+    assert hits[0]["n_chunk_shingles"] == 30
+    assert hits[0]["permille"] == 600
+
+    # sanity: a fully-duplicated short doc is caught by both
+    train2 = spark.createDataFrame([(2, answer)], "doc_id long, text string")
+    both = dedup.decontaminate_chunks(
+        train2, evalset, chunk_tokens=32, overlap=8, shingle_k=3, min_permille=500
+    ).collect()
+    assert len(both) == 1 and both[0]["permille"] == 1000
+
+
 def test_connected_components_checksum_mode_agrees(spark):
     edges = [(i, i + 1) for i in range(1, 10)] + [(50, 51), (51, 52), (70, 71)]
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
