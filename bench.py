@@ -165,14 +165,29 @@ def run_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
 
 def ann_recall(spark: SparkSession, sf_dir: str, k: int = 10) -> dict[str, float]:
     """recall@k of each ANN variant vs exact brute force (same query vec).
-    Expected ordering: multiprobe >= single-probe LSH; kmeans-IVF with
-    n_probe=2 of 8 cells trades recall for probing 1/4 of the corpus."""
+    Expected ordering: multiprobe >= single-probe LSH; kmeans-IVF recall
+    is monotone in n_probe (the standard recall/cost knob — n_probe of 8
+    cells probes n_probe/8 of the corpus)."""
+    from patent_decision_document_converter_spark.operators import similarity
+
     qs = contract.queries()
     brute = {r["vec_id"] for r in qs["ann_topk_bruteforce"](spark, sf_dir).collect()}
     out = {}
     for name in ("ann_topk_lsh", "ann_topk_lsh_multiprobe", "ann_topk_ivf", "ann_topk_ivf_kmeans"):
         got = {r["vec_id"] for r in qs[name](spark, sf_dir).collect()}
         out[name.removeprefix("ann_topk_")] = round(len(got & brute) / len(brute), 3)
+    # kmeans-IVF n_probe sweep: same query vec + training run as the
+    # contract query, only the probe width varies
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(emb.vec_id == 0).select("embedding").head()["embedding"]]
+    for n_probe in (1, 2, 4):
+        got = {
+            r["vec_id"]
+            for r in similarity.ann_topk_ivf_kmeans(
+                emb, qvec, k=k, n_cells=8, n_probe=n_probe, iters=2
+            ).collect()
+        }
+        out[f"ivf_kmeans_probe{n_probe}"] = round(len(got & brute) / len(brute), 3)
     return out
 
 

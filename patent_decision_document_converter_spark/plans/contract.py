@@ -1252,6 +1252,19 @@ def ann_topk_ivf_kmeans_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("rank").cast("long").alias("rank"), "vec_id")
 
 
+def ann_topk_ivf_kmeans_probe4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall/cost knob exercised: probe the 4 nearest of 8 learned
+    cells (half the corpus) instead of the default 2 — the standard IVF
+    n_probe sweep.  Gated against the same unrolled-Lloyd oracle
+    regenerated at n_probe=4; the n_probe ∈ {1,2,4} recall@10 curve is
+    reported by bench.py (ann_recall)."""
+    q = _query_vec(spark, sf_dir, 0)
+    out = similarity.ann_topk_ivf_kmeans(
+        _t(spark, sf_dir, "embeddings"), q, k=10, n_cells=8, n_probe=4, iters=2
+    )
+    return out.select(F.col("rank").cast("long").alias("rank"), "vec_id")
+
+
 def _ivf_kmeans_sql(k: int = 8, iters: int = 2, n_probe: int = 2, dim: int = 64) -> str:
     """Generate the unrolled-Lloyd oracle: because the engine's k-means is
     integer-quantized (order-independent sums, exact floor-division means),
@@ -2168,6 +2181,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_topk_ivf": (ann_topk_ivf, _ANN_IVF_SQL),
     "ann_topk_ivf_kmeans": (ann_topk_ivf_kmeans, _ANN_IVF_KMEANS_SQL),
     "ann_topk_ivf_kmeans_join": (ann_topk_ivf_kmeans_join, _ANN_IVF_KMEANS_SQL),
+    "ann_topk_ivf_kmeans_probe4": (ann_topk_ivf_kmeans_probe4, _ivf_kmeans_sql(n_probe=4)),
     "ann_topk_lsh": (ann_topk_lsh, _ANN_LSH_SQL),
     "ann_topk_lsh_multiprobe": (ann_topk_lsh_multiprobe, _ANN_LSH_MP_SQL),
     "dedup_embedding_lsh": (dedup_embedding_lsh, _EMB_LSH_SQL),

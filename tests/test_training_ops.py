@@ -675,6 +675,26 @@ def test_kmeans_ivf_deterministic_and_sane(vectors):
     assert got and got[0] == 0  # query's own vector leads its probed cell
 
 
+def test_kmeans_ivf_nprobe_recall_monotone(vectors):
+    """The standard IVF recall/cost knob: widening n_probe only ADDS cells
+    to the candidate set, so recall vs brute force is monotone in n_probe,
+    and probing every cell recovers brute force exactly."""
+    df, rows = vectors
+    q = rows[0][1]
+    brute = {r["vec_id"] for r in similarity.cosine_topk(df, q, k=5).collect()}
+    recalls = []
+    for n_probe in (1, 2, 3):
+        got = {
+            r["vec_id"]
+            for r in similarity.ann_topk_ivf_kmeans(
+                df, q, k=5, n_cells=3, n_probe=n_probe, iters=2
+            ).collect()
+        }
+        recalls.append(len(got & brute))
+    assert recalls == sorted(recalls)  # monotone non-decreasing
+    assert recalls[-1] == len(brute)  # n_probe == n_cells scans everything
+
+
 def test_kmeans_assign_join_matches_expr(vectors):
     """The distributed-centroid (broadcast-join) assignment must be
     row-identical to the unrolled-expression path: same centroids, same
