@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "dedup_remove_common_run",
     "media_features",
     "media_features_real",
+    "media_features_png",
+    "media_pdf_extract",
+    "media_enrich_spans",
     "corpus_stratified_sample",
     "corpus_redact_pii",
     "corpus_tfidf_top_terms",
@@ -246,6 +249,10 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
         json.dump(
             {
+                "sf_primary": sf,
+                "cpus": cpus,
+                "queries_primary": qtimes,
+                "total_primary_sec": total,
                 "sf_secondary": sf2,
                 "queries_secondary": qtimes2,
                 "scaling_slope_10x": slope,

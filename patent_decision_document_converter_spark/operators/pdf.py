@@ -1,0 +1,517 @@
+"""PDF/layout parse — the PDF leg of main-content extraction.
+
+The north rule scopes main-content extraction as "HTML boilerplate
+strip, PDF/layout parse, DOM heuristics"; `corpus.html_main_content`
+covers the HTML/DOM legs, this module covers PDF.  Everything is pure
+stdlib (``zlib`` + ``struct``-free byte parsing), same as the BMP/WAV/
+PNG codecs in :mod:`.multimodal`:
+
+* :func:`_encode_pdf` emits a GENUINE single-page PDF — catalog /
+  pages / page / Type1-font object graph, a content stream of
+  ``Tm``-positioned ``Tj`` text runs (FlateDecode-compressed or raw),
+  a byte-exact xref table, trailer and ``startxref`` — a file any PDF
+  viewer opens.
+* :func:`_extract_pdf_runs` is a REAL structural parser, not a regex
+  scrape of the whole file: it reads ``startxref``, walks the xref
+  table to the trailer's ``/Root``, follows Catalog → Pages → Page →
+  ``/Contents``, inflates the stream if ``/FlateDecode`` is set, and
+  tokenizes the content stream (``BT/ET``, ``Tm``, ``Td/TD``, ``TL``,
+  ``T*``, ``Tj``, ``'``, ``TJ``; literal strings with all spec escapes
+  incl. octal and balanced parens, and hex strings).
+* :func:`_runs_to_text` is the LAYOUT step: text runs carry (x, y)
+  positions and may appear in the content stream in any order (the
+  synthesizer deliberately scrambles them); reading order is
+  reconstructed by sorting lines top-to-bottom (descending y — PDF's
+  y-axis points up) and runs within a line left-to-right, joining
+  same-line runs with single spaces.
+
+Oracle replay: :func:`synth_pdf_table` derives every run's text from
+an md5 chain of the media_ref (prefix ``p(<i>)`` — parens force the
+string-escape path — plus the digest hex), so a DuckDB query
+recomputes the expected extracted text, line counts and text md5
+without touching the binary (contract query ``media_pdf_extract``).
+
+Scale notes: synthesis and extraction are partition-preserving
+Arrow-batched ``mapInPandas`` stages — no shuffle, no driver
+collection; Arrow batch size is bounded via
+``spark.sql.execution.arrow.maxRecordsPerBatch`` (plans.job).  At
+10^12 docs the extractor is embarrassingly parallel and the only cost
+is the scan.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .multimodal import MEDIA_SCHEMA
+
+PDF_TEXT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("n_lines", IntegerType()),
+        StructField("n_chars", IntegerType()),
+        StructField("text", StringType()),
+    ]
+)
+
+# --------------------------------------------------------------------------
+# encoder
+# --------------------------------------------------------------------------
+
+_ESCAPES = {ord("("): b"\\(", ord(")"): b"\\)", ord("\\"): b"\\\\"}
+
+
+def _pdf_string(s: str) -> bytes:
+    """PDF literal string: latin-1 bytes with (, ), \\ escaped."""
+    return b"(" + b"".join(_ESCAPES.get(b, bytes([b])) for b in s.encode("latin-1")) + b")"
+
+
+def _encode_pdf(
+    runs: list[tuple[float, float, str]],
+    compress: bool,
+    raw_content: bytes | None = None,
+) -> bytes:
+    """A valid single-page PDF showing ``runs`` = [(x, y, text), ...]
+    in Helvetica 12pt, each run absolutely positioned with ``Tm`` (so
+    the content-stream emission order carries NO layout information —
+    reconstruction must use the coordinates).  xref offsets are exact;
+    the content stream is FlateDecode-compressed iff ``compress``.
+    ``raw_content`` substitutes a hand-written content stream (tests use
+    it to exercise Td/TD/T*/'/TJ/hex paths the synthesizer never emits)."""
+    if raw_content is not None:
+        content = raw_content
+    else:
+        parts = [b"BT /F1 12 Tf"]
+        for x, y, text in runs:
+            parts.append(b"1 0 0 1 %g %g Tm %s Tj" % (x, y, _pdf_string(text)))
+        parts.append(b"ET")
+        content = b"\n".join(parts)
+    filt = b""
+    if compress:
+        content = zlib.compress(content, 6)
+        filt = b" /Filter /FlateDecode"
+
+    bodies = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Length %d%s >>\nstream\n%s\nendstream" % (len(content), filt, content),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(bodies, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(bodies) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(bodies) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# structural parse
+# --------------------------------------------------------------------------
+
+_REF_RE = {
+    key: re.compile(rb"/" + key.encode() + rb"\s+(\d+)\s+0\s+R")
+    for key in ("Root", "Pages", "Contents")
+}
+_KIDS_RE = re.compile(rb"/Kids\s*\[\s*(\d+)\s+0\s+R")
+
+
+def _pdf_objects(payload: bytes) -> dict[int, bytes]:
+    """startxref → xref table → {obj_num: body bytes}.  Offsets are
+    trusted (and validated) — this is a structural parse of the file
+    the way a viewer reads it, not a whole-file regex scrape."""
+    if not payload.startswith(b"%PDF-"):
+        raise ValueError("not a PDF payload")
+    tail = payload[-256:]
+    m = re.search(rb"startxref\s+(\d+)\s+%%EOF", tail)
+    if not m:
+        raise ValueError("PDF missing startxref")
+    xref_at = int(m.group(1))
+    if payload[xref_at : xref_at + 4] != b"xref":
+        raise ValueError("startxref does not point at an xref table")
+    mh = re.match(rb"xref\s+(\d+)\s+(\d+)\s*\n", payload[xref_at:])
+    if not mh:
+        raise ValueError("malformed xref header")
+    first, count = int(mh.group(1)), int(mh.group(2))
+    pos = xref_at + mh.end()
+    objs: dict[int, bytes] = {}
+    for num in range(first, first + count):
+        entry = payload[pos : pos + 20]
+        pos += 20
+        off, _gen, kind = int(entry[:10]), int(entry[11:16]), entry[17:18]
+        if kind != b"n":
+            continue
+        mo = re.match(rb"(\d+)\s+0\s+obj\s*\n", payload[off:])
+        if not mo or int(mo.group(1)) != num:
+            raise ValueError(f"xref offset for object {num} is wrong")
+        end = payload.index(b"endobj", off)
+        objs[num] = payload[off + mo.end() : end]
+    return objs
+
+
+def _content_stream(payload: bytes) -> bytes:
+    """Catalog → Pages → first Kid → /Contents stream, inflated if
+    /FlateDecode."""
+    objs = _pdf_objects(payload)
+    trailer_at = payload.rindex(b"trailer")
+    root = int(_REF_RE["Root"].search(payload, trailer_at).group(1))
+    pages = int(_REF_RE["Pages"].search(objs[root]).group(1))
+    page = int(_KIDS_RE.search(objs[pages]).group(1))
+    contents = int(_REF_RE["Contents"].search(objs[page]).group(1))
+    body = objs[contents]
+    ms = re.search(rb"stream\r?\n", body)
+    if not ms:
+        raise ValueError("/Contents object has no stream")
+    data = body[ms.end() : body.rindex(b"endstream")]
+    if data.endswith(b"\n"):
+        data = data[:-1]
+    if b"/FlateDecode" in body[: ms.start()]:
+        data = zlib.decompress(data)
+    return data
+
+
+# --------------------------------------------------------------------------
+# content-stream tokenizer
+# --------------------------------------------------------------------------
+
+_NUM_RE = re.compile(rb"[+-]?\d*\.?\d+")
+_OCT_RE = re.compile(rb"[0-7]{1,3}")
+
+
+def _parse_literal(data: bytes, pos: int) -> tuple[str, int]:
+    """Parse a ``(...)`` literal string starting at ``pos`` (at the
+    open paren).  Handles \\( \\) \\\\ \\n \\r \\t \\b \\f, octal
+    escapes, escaped newlines (line continuation) and UNescaped
+    balanced parens, per PDF 32000-1 §7.3.4.2."""
+    assert data[pos : pos + 1] == b"("
+    out = bytearray()
+    depth = 1
+    i = pos + 1
+    simple = {ord("n"): 10, ord("r"): 13, ord("t"): 9, ord("b"): 8, ord("f"): 12}
+    while i < len(data):
+        b = data[i]
+        if b == 0x5C:  # backslash
+            nxt = data[i + 1]
+            if nxt in simple:
+                out.append(simple[nxt])
+                i += 2
+            elif nxt in (0x0A, 0x0D):  # line continuation
+                i += 2
+                if nxt == 0x0D and data[i : i + 1] == b"\n":
+                    i += 1
+            elif 0x30 <= nxt <= 0x37:
+                mo = _OCT_RE.match(data, i + 1)
+                out.append(int(mo.group(0), 8) & 0xFF)
+                i = mo.end()
+            else:  # \( \) \\ and "ignore the backslash" for the rest
+                out.append(nxt)
+                i += 2
+        elif b == 0x28:  # ( — balanced nesting
+            depth += 1
+            out.append(b)
+            i += 1
+        elif b == 0x29:  # )
+            depth -= 1
+            if depth == 0:
+                return out.decode("latin-1"), i + 1
+            out.append(b)
+            i += 1
+        else:
+            out.append(b)
+            i += 1
+    raise ValueError("unterminated PDF literal string")
+
+
+def _parse_hex(data: bytes, pos: int) -> tuple[str, int]:
+    end = data.index(b">", pos)
+    hx = re.sub(rb"\s", b"", data[pos + 1 : end])
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii")).decode("latin-1"), end + 1
+
+
+def _extract_pdf_runs(payload: bytes) -> list[tuple[float, float, str]]:
+    """Tokenize the page's content stream into positioned text runs
+    [(x, y, text), ...] in EMISSION order (no layout applied yet).
+    Supported operators: BT/ET, Tf, TL, Tm (text matrix — e/f taken as
+    position), Td, TD (Td + sets leading), T* (next line via leading),
+    Tj, ' (T* + show), TJ (array show — strings concatenated, kerning
+    numbers ignored for text purposes)."""
+    data = _content_stream(payload)
+    runs: list[tuple[float, float, str]] = []
+    stack: list[object] = []  # operand stack: floats and strings
+    x = y = 0.0
+    line_x = line_y = 0.0  # start-of-line (Td/T* move relative to it)
+    leading = 0.0
+    in_array: list[str] | None = None
+    i = 0
+    n = len(data)
+    while i < n:
+        b = data[i : i + 1]
+        if b.isspace():
+            i += 1
+        elif b == b"(":
+            s, i = _parse_literal(data, i)
+            if in_array is not None:
+                in_array.append(s)
+            else:
+                stack.append(s)
+        elif b == b"<":
+            s, i = _parse_hex(data, i)
+            if in_array is not None:
+                in_array.append(s)
+            else:
+                stack.append(s)
+        elif b == b"[":
+            in_array = []
+            i += 1
+        elif b == b"]":
+            stack.append("".join(in_array or []))
+            in_array = None
+            i += 1
+        elif b == b"/":
+            mo = re.match(rb"/[^\s\[\]()<>/]*", data[i:])
+            i += mo.end()  # names (font resources) are not text operands
+        elif _NUM_RE.match(data, i):
+            mo = _NUM_RE.match(data, i)
+            if in_array is None:
+                stack.append(float(mo.group(0)))
+            i = mo.end()
+        else:
+            mo = re.match(rb"[A-Za-z'*\"]+", data[i:])
+            if not mo:
+                raise ValueError(f"bad content-stream byte at {i}: {b!r}")
+            op = mo.group(0)
+            i += mo.end()
+            if op == b"Tm":
+                # a b c d e f Tm — translation components only
+                x = line_x = float(stack[-2])
+                y = line_y = float(stack[-1])
+            elif op in (b"Td", b"TD"):
+                if op == b"TD":
+                    leading = -float(stack[-1])
+                line_x += float(stack[-2])
+                line_y += float(stack[-1])
+                x, y = line_x, line_y
+            elif op == b"T*":
+                line_y -= leading
+                x, y = line_x, line_y
+            elif op == b"TL":
+                leading = float(stack[-1])
+            elif op == b"Tj":
+                runs.append((x, y, str(stack[-1])))
+            elif op == b"'":
+                line_y -= leading
+                x, y = line_x, line_y
+                runs.append((x, y, str(stack[-1])))
+            elif op == b"TJ":
+                runs.append((x, y, str(stack[-1])))
+            elif op in (b"BT", b"ET"):
+                x = y = line_x = line_y = 0.0
+            # Tf and anything else: operands already consumed positionally
+            stack = []
+    return runs
+
+
+def _runs_to_text(runs: list[tuple[float, float, str]]) -> str:
+    """Layout reconstruction: lines top-to-bottom (desc y — PDF y goes
+    up), runs within a line left-to-right joined by single spaces,
+    lines joined by newlines.  y is bucketed to 0.01pt so float noise
+    cannot split a line."""
+    by_line: dict[int, list[tuple[float, str]]] = {}
+    for x, y, text in runs:
+        by_line.setdefault(round(y * 100), []).append((x, text))
+    lines = []
+    for key in sorted(by_line, reverse=True):
+        lines.append(" ".join(t for _x, t in sorted(by_line[key])))
+    return "\n".join(lines)
+
+
+def extract_pdf_text(payload: bytes) -> str:
+    """payload → reading-order text (the single-file composition)."""
+    return _runs_to_text(_extract_pdf_runs(payload))
+
+
+# --------------------------------------------------------------------------
+# Spark operators
+# --------------------------------------------------------------------------
+
+PDF_MAX_LINES = 6  # synth emits 3 + doc_id % 3 lines; oracle iterates range(6)
+
+
+def _synth_runs(media_ref: str, doc_id: int) -> list[tuple[float, float, str]]:
+    """The per-doc text runs, SCRAMBLED: all body runs first in reverse
+    line order, then the prefix runs forward — emission order shares
+    nothing with reading order, so extraction equality proves the
+    layout sort really ran.  Texts are oracle-replayable:
+    prefix ``p(<i>)`` (parens exercise string escaping), body
+    ``md5('<media_ref>:l<i>')`` hex."""
+    import hashlib
+
+    n_lines = 3 + doc_id % 3
+    prefixes, bodies = [], []
+    for ln in range(n_lines):
+        yy = 720.0 - 14.0 * ln
+        prefixes.append((72.0, yy, f"p({ln})"))
+        bodies.append((130.0, yy, hashlib.md5(f"{media_ref}:l{ln}".encode()).hexdigest()))
+    return bodies[::-1] + prefixes
+
+
+def synth_pdf_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One GENUINE single-page PDF per document (media_ref
+    ``pdf:<doc_id>``, kind ``document``); even doc_ids get a
+    FlateDecode-compressed content stream, odd ids raw — both paths of
+    the extractor are exercised on every corpus."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf_batch in batches:
+            ids = pdf_batch[id_col].astype(str)
+            refs, payloads = [], []
+            for doc_id in ids:
+                ref = f"pdf:{doc_id}"
+                payload = _encode_pdf(_synth_runs(ref, int(doc_id)), compress=int(doc_id) % 2 == 0)
+                refs.append(ref)
+                payloads.append(payload)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_ref": refs,
+                    "kind": ["document"] * len(refs),
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                    "format": ["pdf"] * len(refs),
+                }
+            )
+
+    return docs.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def pdf_extract_text_df(media_df: DataFrame) -> DataFrame:
+    """binary PDF payload → reading-order text via Arrow-batched
+    mapInPandas (partition-preserving, zero shuffle).  Output:
+    (doc_id, media_ref, n_lines, n_chars, text)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf_batch in batches:
+            texts = [extract_pdf_text(bytes(p)) for p in pdf_batch["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf_batch["doc_id"],
+                    "media_ref": pdf_batch["media_ref"],
+                    "n_lines": [t.count("\n") + 1 if t else 0 for t in texts],
+                    "n_chars": [len(t) for t in texts],
+                    "text": texts,
+                }
+            )
+
+    return media_df.select("doc_id", "media_ref", "payload").mapInPandas(
+        run, schema=PDF_TEXT_SCHEMA
+    )
+
+
+def enrich_media_spans(
+    docs: DataFrame,
+    media_text: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Inject extracted media text into interleaved span sequences.
+
+    ``docs`` carries the input-hint shape (doc_id, spans:array<struct<
+    kind,text,media_ref,offset>>); ``media_text`` is (doc_id, media_ref,
+    text) — e.g. :func:`pdf_extract_text_df` output.  For every
+    ``kind='media'`` span whose (doc_id, media_ref) has extracted text,
+    a ``kind='media_text'`` span with that text is inserted IMMEDIATELY
+    after the media span; offsets are densely renumbered so the output
+    again satisfies the (kind, text, media_ref, order) span-sequence
+    invariant.  Media spans without extracted text (or non-PDF refs)
+    pass through untouched, as do all text spans.  Documents with an
+    EMPTY spans array are dropped (inner explode) — they carry nothing
+    to enrich; callers needing them union the empty docs back.
+
+    Plan shape: explode → sort-merge join on (doc_id, media_ref) (media
+    text is doc-aligned, same cardinality as the docs — NOT broadcast;
+    at 10^12 docs both sides are huge and co-partition on doc_id) →
+    1-or-2-span fan-out via posexplode → groupBy reassembly ordered by
+    (offset, sub) → dense re-offset with ``transform``.  Two shuffles
+    total (join + regroup), pure JVM expressions end-to-end.
+    """
+    ex = docs.select(
+        F.col(id_col), F.explode(F.col(spans_col)).alias("_s")
+    ).select(
+        id_col,
+        F.col("_s.kind").alias("kind"),
+        F.col("_s.text").alias("text"),
+        F.col("_s.media_ref").alias("media_ref"),
+        F.col("_s.offset").alias("offset"),
+    )
+    mt = media_text.select(
+        F.col("doc_id").cast(dict(ex.dtypes)[id_col]).alias(id_col),
+        F.col("media_ref").alias("_mref"),
+        F.col("text").alias("_mtext"),
+    )
+    joined = ex.join(
+        mt,
+        (ex[id_col] == mt[id_col]) & (ex["kind"] == "media") & (ex["media_ref"] == mt["_mref"]),
+        "left",
+    ).select(ex[id_col], "kind", "text", "media_ref", "offset", "_mtext")
+    span_t = "struct<kind:string,text:string,media_ref:string>"
+    fanned = joined.select(
+        id_col,
+        "offset",
+        F.posexplode(
+            F.when(
+                F.col("_mtext").isNotNull(),
+                F.array(
+                    F.struct("kind", "text", "media_ref").cast(span_t),
+                    F.struct(
+                        F.lit("media_text").alias("kind"),
+                        F.col("_mtext").alias("text"),
+                        F.col("media_ref"),
+                    ).cast(span_t),
+                ),
+            ).otherwise(F.array(F.struct("kind", "text", "media_ref").cast(span_t)))
+        ).alias("_sub", "_s"),
+    )
+    collected = fanned.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("offset", "_sub", "_s"))).alias("_arr")
+    )
+    return collected.select(
+        id_col,
+        F.transform(
+            "_arr",
+            lambda e, i: F.struct(
+                e["_s"]["kind"].alias("kind"),
+                e["_s"]["text"].alias("text"),
+                e["_s"]["media_ref"].alias("media_ref"),
+                i.cast("int").alias("offset"),
+            ),
+        ).alias(spans_col),
+    )

@@ -1931,6 +1931,140 @@ FROM pb GROUP BY doc_id, media_ref
 _MEDIA_PNG_SQL = _media_png_sql()
 
 
+def media_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PDF/layout-parse leg of main-content extraction under a hard
+    oracle: genuine single-page PDFs (object graph, xref, Tm-positioned
+    Tj runs, FlateDecode on even doc_ids) are synthesized with their
+    text runs SCRAMBLED in the content stream, structurally re-parsed
+    (startxref → xref → Catalog → Page → /Contents → inflate →
+    tokenizer), and reading order is rebuilt from the (x, y) layout
+    coordinates.  DuckDB re-derives the expected reading-order text from
+    the md5 chain alone — agreement proves both the byte-exact codec
+    round-trip AND the layout sort."""
+    from ..operators import pdf as pdfmod
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = pdfmod.synth_pdf_table(docs)
+    txt = pdfmod.pdf_extract_text_df(media)
+    return txt.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "media_ref",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
+def _media_pdf_sql() -> str:
+    from ..operators import pdf as _pdf
+
+    return f"""
+WITH lines AS (
+  SELECT d.doc_id, 'pdf:' || d.doc_id AS media_ref, ln.ln,
+         'p(' || ln.ln || ') ' || md5('pdf:' || d.doc_id || ':l' || ln.ln) AS line
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range({_pdf.PDF_MAX_LINES})) AS ln) ln
+  WHERE ln.ln < 3 + d.doc_id % 3
+),
+agg AS (
+  SELECT doc_id, media_ref,
+         COUNT(*) AS n_lines,
+         string_agg(line, chr(10) ORDER BY ln) AS text
+  FROM lines GROUP BY doc_id, media_ref
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, media_ref,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       md5(text) AS text_md5
+FROM agg
+"""
+
+
+_MEDIA_PDF_SQL = _media_pdf_sql()
+
+
+def media_enrich_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-aware span enrichment over the input-hint table shape:
+    deterministic interleaved docs (4 text spans + 1 media span, array
+    order SCRAMBLED so only the offset field carries order), a genuine
+    PDF per doc, extracted text spliced in as a ``media_text`` span
+    directly after its media span, offsets densely renumbered.  The
+    output row is a digest of the full (kind, text, media_ref, order)
+    sequence — the north-rule invariant — which DuckDB re-derives from
+    md5 chains alone."""
+    from ..operators import pdf as pdfmod
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+
+    def t_span(i: int, off: int):
+        return F.struct(
+            F.lit("text").alias("kind"),
+            F.md5(F.concat(F.lit("t:"), did, F.lit(f":{i}"))).alias("text"),
+            F.lit("").alias("media_ref"),
+            F.lit(off).cast("int").alias("offset"),
+        )
+
+    m_span = F.struct(
+        F.lit("media").alias("kind"),
+        F.lit("").alias("text"),
+        F.concat(F.lit("pdf:"), did).alias("media_ref"),
+        F.lit(2).cast("int").alias("offset"),
+    )
+    interleaved = docs.select(
+        "doc_id",
+        F.array(t_span(2, 3), m_span, t_span(0, 0), t_span(3, 4), t_span(1, 1)).alias("spans"),
+    )
+    extracted = pdfmod.pdf_extract_text_df(pdfmod.synth_pdf_table(docs))
+    enriched = pdfmod.enrich_media_spans(interleaved, extracted)
+    seq = F.transform(
+        "spans",
+        lambda s: F.concat_ws(
+            "|", s["kind"], s["text"], s["media_ref"], s["offset"].cast("string")
+        ),
+    )
+    return enriched.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size("spans").cast("long").alias("n_spans"),
+        F.md5(F.concat_ws("#", seq)).alias("seq_md5"),
+    )
+
+
+def _media_enrich_sql() -> str:
+    from ..operators import pdf as _pdf
+
+    return f"""
+WITH pdf_lines AS (
+  SELECT d.doc_id, ln.ln,
+         'p(' || ln.ln || ') ' || md5('pdf:' || d.doc_id || ':l' || ln.ln) AS line
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range({_pdf.PDF_MAX_LINES})) AS ln) ln
+  WHERE ln.ln < 3 + d.doc_id % 3
+),
+pdf_text AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS text
+  FROM pdf_lines GROUP BY doc_id
+),
+seq AS (
+  SELECT d.doc_id,
+         'text|' || md5('t:' || d.doc_id || ':0') || '||0'
+         || '#' || 'text|' || md5('t:' || d.doc_id || ':1') || '||1'
+         || '#' || 'media||pdf:' || d.doc_id || '|2'
+         || '#' || 'media_text|' || p.text || '|pdf:' || d.doc_id || '|3'
+         || '#' || 'text|' || md5('t:' || d.doc_id || ':2') || '||4'
+         || '#' || 'text|' || md5('t:' || d.doc_id || ':3') || '||5' AS s
+  FROM documents d JOIN pdf_text p ON p.doc_id = d.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(6 AS BIGINT) AS n_spans,
+       md5(s) AS seq_md5
+FROM seq
+"""
+
+
+_MEDIA_ENRICH_SQL = _media_enrich_sql()
+
+
 # ---------------------------------------------------------------------------
 # conversion engine — oracle = REFERENCE-computed expectations
 #
@@ -2205,6 +2339,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "media_features": (media_features, _MEDIA_FEATURES_SQL),
     "media_features_real": (media_features_real, _MEDIA_REAL_SQL),
     "media_features_png": (media_features_png, _MEDIA_PNG_SQL),
+    "media_pdf_extract": (media_pdf_extract, _MEDIA_PDF_SQL),
+    "media_enrich_spans": (media_enrich_spans, _MEDIA_ENRICH_SQL),
     # relational coverage — headline shapes first, generic demos last
     # (the demos past position 50 stay green under the in-suite gate)
     "events_sessionize": (events_sessionize, _SESSIONIZE_SQL),

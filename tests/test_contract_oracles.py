@@ -26,6 +26,7 @@ SUBSET = [
     "corpus_chunk_docs",
     "media_features",
     "media_features_png",
+    "media_pdf_extract",
     "convert_office_action",
     "convert_interleaved_spans",
 ]

@@ -1009,3 +1009,130 @@ def test_connected_components_checksum_mode_agrees(spark):
         for r in dedup.connected_components(pairs, convergence="checksum").collect()
     }
     assert exact == cksum
+
+
+# ---------------------------------------------------------------------------
+# PDF/layout parse (operators/pdf.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pdf_roundtrip_scrambled_layout():
+    """Encoder emits runs in scrambled order; extraction must rebuild
+    reading order from the (x, y) coordinates — both the FlateDecode and
+    raw content-stream paths."""
+    from patent_decision_document_converter_spark.operators import pdf as pdfmod
+
+    for doc_id in (0, 1, 4, 5):
+        ref = f"pdf:{doc_id}"
+        runs = pdfmod._synth_runs(ref, doc_id)
+        payload = pdfmod._encode_pdf(runs, compress=doc_id % 2 == 0)
+        assert payload.startswith(b"%PDF-1.4")
+        n_lines = 3 + doc_id % 3
+        expected = "\n".join(
+            f"p({ln}) " + hashlib.md5(f"{ref}:l{ln}".encode()).hexdigest()
+            for ln in range(n_lines)
+        )
+        assert pdfmod.extract_pdf_text(payload) == expected
+
+
+def test_pdf_tokenizer_full_operator_surface():
+    """Hand-written content stream exercising every supported operator:
+    Td relative moves, TD (sets leading), T* and ' (leading-driven next
+    line), TJ arrays with kerning numbers, hex strings, octal escapes,
+    nested balanced parens, and line continuation — none of which the
+    synthesizer emits."""
+    from patent_decision_document_converter_spark.operators import pdf as pdfmod
+
+    content = b"""BT /F1 12 Tf
+1 0 0 1 72 700 Tm (line0 a) Tj
+10 0 Td (line0 b) Tj
+-10 -20 TD (line1) Tj
+T* (line2 \\( nested (p) \\)) Tj
+(quoted) '
+[(li) -120 (ne3) 30 < 20 68 65 78>] TJ
+1 0 0 1 72 600 Tm (oct\\101l and cont\\
+inued) Tj
+ET"""
+    payload = pdfmod._encode_pdf([], compress=False, raw_content=content)
+    text = pdfmod.extract_pdf_text(payload)
+    # y=700: Tm run + Td run; y=680: TD (leading=20); y=660: T*;
+    # y=640: ' (next line + show) and the TJ run share the line
+    lines = text.splitlines()
+    assert lines[0] == "line0 a line0 b"
+    assert lines[1] == "line1"
+    assert lines[2] == "line2 ( nested (p) )"
+    assert lines[3] == "line3 hex quoted"  # TJ concat (kerning ignored) + hex string
+    assert lines[4] == "octAl and continued"  # octal escape + line continuation
+
+
+def test_pdf_xref_validation_rejects_corruption():
+    from patent_decision_document_converter_spark.operators import pdf as pdfmod
+
+    payload = bytearray(pdfmod._encode_pdf([(72.0, 700.0, "hi")], compress=False))
+    with pytest.raises(ValueError, match="not a PDF"):
+        pdfmod.extract_pdf_text(b"JUNK" + bytes(payload))
+    # corrupt the startxref pointer -> structural parse must fail loudly
+    at = payload.rindex(b"startxref")
+    num_start = at + len(b"startxref\n")
+    num_end = payload.index(b"\n", num_start)
+    bad = payload[:num_start] + b"7" + payload[num_start:num_end] + payload[num_end:]
+    with pytest.raises(ValueError):
+        pdfmod.extract_pdf_text(bytes(bad))
+
+
+def test_pdf_spark_stages_shuffle_free(spark):
+    """synth → extract over Spark: values match the plain-Python path
+    and neither stage introduces an Exchange (partition-preserving
+    mapInPandas only)."""
+    from patent_decision_document_converter_spark.operators import pdf as pdfmod
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    out = pdfmod.pdf_extract_text_df(pdfmod.synth_pdf_table(docs))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 8
+    for i in range(8):
+        r = rows[str(i)]
+        n_lines = 3 + i % 3
+        expected = "\n".join(
+            f"p({ln}) " + hashlib.md5(f"pdf:{i}:l{ln}".encode()).hexdigest()
+            for ln in range(n_lines)
+        )
+        assert r["text"] == expected
+        assert r["n_lines"] == n_lines
+        assert r["n_chars"] == len(expected)
+
+
+def test_enrich_media_spans_splices_and_passes_through(spark):
+    """Media span WITH extracted text gets a media_text span right after
+    it; media spans without extracted text and plain text spans pass
+    through; offsets are densely renumbered from scrambled input order."""
+    from patent_decision_document_converter_spark.operators import pdf as pdfmod
+
+    span_t = (
+        "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    docs = spark.createDataFrame(
+        [
+            # scrambled array order; media at offset 1 has text, offset 3 does not
+            ("d1", [("media", "", "pdf:a", 1), ("text", "t0", "", 0),
+                    ("media", "", "img:x", 3), ("text", "t2", "", 2)]),
+            ("d2", [("text", "only", "", 0)]),  # no media at all
+        ],
+        f"doc_id string, spans {span_t}",
+    )
+    mt = spark.createDataFrame(
+        [("d1", "pdf:a", "EXTRACTED")], "doc_id string, media_ref string, text string"
+    )
+    out = {r["doc_id"]: r["spans"] for r in pdfmod.enrich_media_spans(docs, mt).collect()}
+    d1 = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in out["d1"]]
+    assert d1 == [
+        ("text", "t0", "", 0),
+        ("media", "", "pdf:a", 1),
+        ("media_text", "EXTRACTED", "pdf:a", 2),
+        ("text", "t2", "", 3),
+        ("media", "", "img:x", 4),
+    ]
+    d2 = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in out["d2"]]
+    assert d2 == [("text", "only", "", 0)]
