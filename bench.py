@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "media_features_png",
     "media_pdf_extract",
     "media_enrich_spans",
+    "extract_main_dispatch",
     "corpus_stratified_sample",
     "corpus_redact_pii",
     "corpus_tfidf_top_terms",

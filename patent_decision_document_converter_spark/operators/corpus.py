@@ -192,6 +192,8 @@ def html_main_content(
     id_col: str = "doc_id",
     min_block_chars: int = 40,
     max_link_density_permille: int = 500,
+    carry_cols: tuple = (),
+    keep_empty: bool = False,
 ) -> DataFrame:
     """Main-content extraction from HTML documents — the classic
     text-density heuristic (Arc90/boilerpipe family) relationally:
@@ -209,9 +211,15 @@ def html_main_content(
     the only row-multiplying step and the reassembly groups back on the
     id: one shuffle, ~boilerpipe semantics, 100 TB-ready (per-document
     work is linear; no Python).
+
+    ``carry_cols`` ride through the groupBy unchanged (for 1:1-per-doc
+    metadata like media_ref/format — saves the caller a re-join);
+    ``keep_empty=True`` keeps docs whose every block was dropped (NULL
+    ``main_text``, ``n_blocks_kept`` 0) instead of omitting them.
     """
     blocks = df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         F.posexplode(
             F.split(F.col(html_col), r"(?i)</(?:p|div|section|article|li|h[1-6])>|<br[^>]*>")
         ).alias("block_no", "raw"),
@@ -231,17 +239,37 @@ def html_main_content(
     )
     stripped = blocks.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         "block_no",
         html_strip(F.col("raw")).alias("btext"),
         html_strip(F.concat_ws(" ", link_texts)).alias("ltext"),
     )
     # keep: long enough, and link-text mass at most max_link_density
     # (integer cross-multiplication — no float division)
-    kept = stripped.filter(
-        (F.length("btext") >= min_block_chars)
-        & (F.lit(1000) * F.length("ltext") <= F.lit(max_link_density_permille) * F.length("btext"))
+    keep_cond = (F.length("btext") >= min_block_chars) & (
+        F.lit(1000) * F.length("ltext") <= F.lit(max_link_density_permille) * F.length("btext")
     )
-    return kept.groupBy(id_col).agg(
+    if keep_empty:
+        # group over ALL blocks; collect_list drops the NULLs the when()
+        # leaves for rejected blocks, so the kept set is identical — but
+        # zero-kept docs survive with NULL main_text
+        return stripped.groupBy(id_col, *carry_cols).agg(
+            F.nullif(
+                F.concat_ws(
+                    "\n",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.when(keep_cond, F.struct("block_no", "btext")))
+                        ),
+                        lambda s: s["btext"],
+                    ),
+                ),
+                F.lit(""),
+            ).alias("main_text"),
+            F.sum(keep_cond.cast("long")).cast("long").alias("n_blocks_kept"),
+        )
+    kept = stripped.filter(keep_cond)
+    return kept.groupBy(id_col, *carry_cols).agg(
         F.concat_ws(
             "\n",
             F.transform(

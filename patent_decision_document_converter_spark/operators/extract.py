@@ -1,0 +1,90 @@
+"""Unified main-content extraction — the north rule's three legs
+("HTML boilerplate strip, PDF/layout parse, DOM heuristics") behind one
+format-routed operator.
+
+:func:`extract_main_content` takes a media table (doc_id, media_ref,
+format, payload:binary) and routes each row to the right extractor:
+
+* ``html`` → UTF-8 decode + :func:`..operators.corpus.html_main_content`
+  (block split, per-block link-density + length gate — the DOM-heuristic
+  / boilerplate leg; pure JVM expressions),
+* ``pdf``  → :func:`..operators.pdf.pdf_extract_text_df` (structural
+  parse + layout-order reconstruction; Arrow-batched ``mapInPandas``),
+* ``txt``  → UTF-8 decode, whitespace-normalized passthrough.
+
+Unknown formats yield NULL ``main_text`` with the format echoed so a
+10^12-doc crawl with a long tail of exotic types degrades loudly but
+non-fatally (same philosophy as ``pdf_extract_text_df(permissive=)``).
+
+Plan shape: one filter per leg over the same scan (Catalyst merges the
+scans under one InMemoryFileIndex; each leg is shuffle-free except the
+HTML leg's block regroup), ``unionByName`` at the end — no join, no
+driver collection.  At scale the union is a no-op barrier: each leg
+stays embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .corpus import html_main_content
+from .pdf import pdf_extract_text_df
+
+_OUT_COLS = ("doc_id", "media_ref", "format", "main_text")
+
+
+def extract_main_content(
+    media_df: DataFrame,
+    min_block_chars: int = 40,
+    max_link_density_permille: int = 500,
+    permissive_pdf: bool = False,
+) -> DataFrame:
+    """Route (doc_id, media_ref, format, payload) rows to the
+    format-appropriate main-content extractor; returns one row per input
+    row with ``main_text`` (NULL for unknown formats or, when
+    ``permissive_pdf``, unparseable PDFs)."""
+    base = media_df.select("doc_id", "media_ref", "format", "payload")
+
+    html = base.filter(F.col("format") == "html").select(
+        "doc_id", "media_ref", "format", F.decode("payload", "UTF-8").alias("html")
+    )
+    # carry_cols rides media_ref/format through the block regroup (no
+    # re-join); keep_empty preserves all-boilerplate docs as NULL rows
+    html_full = html_main_content(
+        html,
+        html_col="html",
+        id_col="doc_id",
+        min_block_chars=min_block_chars,
+        max_link_density_permille=max_link_density_permille,
+        carry_cols=("media_ref", "format"),
+        keep_empty=True,
+    ).select("doc_id", "media_ref", "format", "main_text")
+
+    pdf = base.filter(F.col("format") == "pdf")
+    pdf_out = pdf_extract_text_df(pdf, permissive=permissive_pdf).select(
+        "doc_id",
+        "media_ref",
+        F.lit("pdf").alias("format"),
+        F.col("text").alias("main_text"),
+    )
+
+    txt = base.filter(F.col("format") == "txt").select(
+        "doc_id",
+        "media_ref",
+        "format",
+        F.trim(F.regexp_replace(F.decode("payload", "UTF-8"), r"[ \t\n\x0b\f\r]+", " ")).alias(
+            "main_text"
+        ),
+    )
+
+    other = base.filter(~F.col("format").isin("html", "pdf", "txt")).select(
+        "doc_id", "media_ref", "format", F.lit(None).cast("string").alias("main_text")
+    )
+
+    return (
+        html_full.select(*_OUT_COLS)
+        .unionByName(pdf_out.select(*_OUT_COLS))
+        .unionByName(txt.select(*_OUT_COLS))
+        .unionByName(other.select(*_OUT_COLS))
+    )

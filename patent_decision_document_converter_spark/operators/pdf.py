@@ -6,18 +6,19 @@ covers the HTML/DOM legs, this module covers PDF.  Everything is pure
 stdlib (``zlib`` + ``struct``-free byte parsing), same as the BMP/WAV/
 PNG codecs in :mod:`.multimodal`:
 
-* :func:`_encode_pdf` emits a GENUINE single-page PDF — catalog /
-  pages / page / Type1-font object graph, a content stream of
-  ``Tm``-positioned ``Tj`` text runs (FlateDecode-compressed or raw),
-  a byte-exact xref table, trailer and ``startxref`` — a file any PDF
-  viewer opens.
-* :func:`_extract_pdf_runs` is a REAL structural parser, not a regex
-  scrape of the whole file: it reads ``startxref``, walks the xref
-  table to the trailer's ``/Root``, follows Catalog → Pages → Page →
-  ``/Contents``, inflates the stream if ``/FlateDecode`` is set, and
-  tokenizes the content stream (``BT/ET``, ``Tm``, ``Td/TD``, ``TL``,
-  ``T*``, ``Tj``, ``'``, ``TJ``; literal strings with all spec escapes
-  incl. octal and balanced parens, and hex strings).
+* :func:`_encode_pdf` emits a GENUINE PDF (single- or multi-page) —
+  catalog / pages / page / Type1-font object graph, one content stream
+  of ``Tm``-positioned ``Tj`` text runs per page (FlateDecode-compressed
+  or raw), a byte-exact xref table, trailer and ``startxref`` — a file
+  any PDF viewer opens.
+* :func:`_content_streams` + :func:`_extract_stream_runs` form a REAL
+  structural parser, not a regex scrape of the whole file: it reads
+  ``startxref``, walks the xref table to the trailer's ``/Root``,
+  follows Catalog → Pages → every Kid in order → ``/Contents``,
+  inflates each stream if ``/FlateDecode`` is set, and tokenizes the
+  content stream (``BT/ET``, ``Tm``, ``Td/TD``, ``TL``, ``T*``,
+  ``Tj``, ``'``, ``TJ``; literal strings with all spec escapes incl.
+  octal and balanced parens, and hex strings).
 * :func:`_runs_to_text` is the LAYOUT step: text runs carry (x, y)
   positions and may appear in the content stream in any order (the
   synthesizer deliberately scrambles them); reading order is
@@ -82,35 +83,51 @@ def _encode_pdf(
     runs: list[tuple[float, float, str]],
     compress: bool,
     raw_content: bytes | None = None,
+    pages: list[list[tuple[float, float, str]]] | None = None,
 ) -> bytes:
-    """A valid single-page PDF showing ``runs`` = [(x, y, text), ...]
-    in Helvetica 12pt, each run absolutely positioned with ``Tm`` (so
-    the content-stream emission order carries NO layout information —
+    """A valid PDF showing ``runs`` = [(x, y, text), ...] in Helvetica
+    12pt, each run absolutely positioned with ``Tm`` (so the
+    content-stream emission order carries NO layout information —
     reconstruction must use the coordinates).  xref offsets are exact;
-    the content stream is FlateDecode-compressed iff ``compress``.
+    content streams are FlateDecode-compressed iff ``compress``.
     ``raw_content`` substitutes a hand-written content stream (tests use
-    it to exercise Td/TD/T*/'/TJ/hex paths the synthesizer never emits)."""
-    if raw_content is not None:
-        content = raw_content
-    else:
+    it to exercise Td/TD/T*/'/TJ/hex paths the synthesizer never emits).
+    ``pages`` makes a MULTI-page document (one Kids entry + one content
+    stream per page; ``runs``/``raw_content`` are the one-page forms)."""
+
+    def page_content(page_runs: list[tuple[float, float, str]]) -> bytes:
         parts = [b"BT /F1 12 Tf"]
-        for x, y, text in runs:
+        for x, y, text in page_runs:
             parts.append(b"1 0 0 1 %g %g Tm %s Tj" % (x, y, _pdf_string(text)))
         parts.append(b"ET")
-        content = b"\n".join(parts)
+        return b"\n".join(parts)
+
+    if pages is None:
+        contents = [raw_content if raw_content is not None else page_content(runs)]
+    else:
+        contents = [page_content(p) for p in pages]
     filt = b""
     if compress:
-        content = zlib.compress(content, 6)
+        contents = [zlib.compress(c, 6) for c in contents]
         filt = b" /Filter /FlateDecode"
 
+    n = len(contents)
+    # objects: 1 catalog, 2 pages, 3 font, then per page i: page obj
+    # (4+2i) + content stream (5+2i)
+    kids = b" ".join(b"%d 0 R" % (4 + 2 * i) for i in range(n))
     bodies = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
-        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
-        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-        b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>",
+        b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, n),
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
-        b"<< /Length %d%s >>\nstream\n%s\nendstream" % (len(content), filt, content),
     ]
+    for i, content in enumerate(contents):
+        bodies.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>" % (5 + 2 * i)
+        )
+        bodies.append(
+            b"<< /Length %d%s >>\nstream\n%s\nendstream" % (len(content), filt, content)
+        )
     out = bytearray(b"%PDF-1.4\n")
     offsets = []
     for i, body in enumerate(bodies, start=1):
@@ -136,7 +153,8 @@ _REF_RE = {
     key: re.compile(rb"/" + key.encode() + rb"\s+(\d+)\s+0\s+R")
     for key in ("Root", "Pages", "Contents")
 }
-_KIDS_RE = re.compile(rb"/Kids\s*\[\s*(\d+)\s+0\s+R")
+_KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+0\s+R)+)\s*\]")
+_KID_REF_RE = re.compile(rb"(\d+)\s+0\s+R")
 
 
 def _pdf_objects(payload: bytes) -> dict[int, bytes]:
@@ -172,25 +190,31 @@ def _pdf_objects(payload: bytes) -> dict[int, bytes]:
     return objs
 
 
-def _content_stream(payload: bytes) -> bytes:
-    """Catalog → Pages → first Kid → /Contents stream, inflated if
-    /FlateDecode."""
+def _content_streams(payload: bytes) -> list[bytes]:
+    """Catalog → Pages → every Kid in order → /Contents stream,
+    inflated if /FlateDecode — one entry per page."""
     objs = _pdf_objects(payload)
     trailer_at = payload.rindex(b"trailer")
     root = int(_REF_RE["Root"].search(payload, trailer_at).group(1))
     pages = int(_REF_RE["Pages"].search(objs[root]).group(1))
-    page = int(_KIDS_RE.search(objs[pages]).group(1))
-    contents = int(_REF_RE["Contents"].search(objs[page]).group(1))
-    body = objs[contents]
-    ms = re.search(rb"stream\r?\n", body)
-    if not ms:
-        raise ValueError("/Contents object has no stream")
-    data = body[ms.end() : body.rindex(b"endstream")]
-    if data.endswith(b"\n"):
-        data = data[:-1]
-    if b"/FlateDecode" in body[: ms.start()]:
-        data = zlib.decompress(data)
-    return data
+    kids_m = _KIDS_RE.search(objs[pages])
+    if not kids_m:
+        raise ValueError("/Pages object has no /Kids array")
+    streams = []
+    for kid_m in _KID_REF_RE.finditer(kids_m.group(1)):
+        page = int(kid_m.group(1))
+        contents = int(_REF_RE["Contents"].search(objs[page]).group(1))
+        body = objs[contents]
+        ms = re.search(rb"stream\r?\n", body)
+        if not ms:
+            raise ValueError("/Contents object has no stream")
+        data = body[ms.end() : body.rindex(b"endstream")]
+        if data.endswith(b"\n"):
+            data = data[:-1]
+        if b"/FlateDecode" in body[: ms.start()]:
+            data = zlib.decompress(data)
+        streams.append(data)
+    return streams
 
 
 # --------------------------------------------------------------------------
@@ -253,14 +277,13 @@ def _parse_hex(data: bytes, pos: int) -> tuple[str, int]:
     return bytes.fromhex(hx.decode("ascii")).decode("latin-1"), end + 1
 
 
-def _extract_pdf_runs(payload: bytes) -> list[tuple[float, float, str]]:
-    """Tokenize the page's content stream into positioned text runs
+def _extract_stream_runs(data: bytes) -> list[tuple[float, float, str]]:
+    """Tokenize one page's content stream into positioned text runs
     [(x, y, text), ...] in EMISSION order (no layout applied yet).
     Supported operators: BT/ET, Tf, TL, Tm (text matrix — e/f taken as
     position), Td, TD (Td + sets leading), T* (next line via leading),
     Tj, ' (T* + show), TJ (array show — strings concatenated, kerning
     numbers ignored for text purposes)."""
-    data = _content_stream(payload)
     runs: list[tuple[float, float, str]] = []
     stack: list[object] = []  # operand stack: floats and strings
     x = y = 0.0
@@ -351,8 +374,12 @@ def _runs_to_text(runs: list[tuple[float, float, str]]) -> str:
 
 
 def extract_pdf_text(payload: bytes) -> str:
-    """payload → reading-order text (the single-file composition)."""
-    return _runs_to_text(_extract_pdf_runs(payload))
+    """payload → reading-order text: per page, lines top-to-bottom and
+    runs left-to-right; pages concatenated in Kids order, separated by
+    a newline (the single-file composition)."""
+    return "\n".join(
+        _runs_to_text(_extract_stream_runs(s)) for s in _content_streams(payload)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -362,29 +389,38 @@ def extract_pdf_text(payload: bytes) -> str:
 PDF_MAX_LINES = 6  # synth emits 3 + doc_id % 3 lines; oracle iterates range(6)
 
 
-def _synth_runs(media_ref: str, doc_id: int) -> list[tuple[float, float, str]]:
-    """The per-doc text runs, SCRAMBLED: all body runs first in reverse
-    line order, then the prefix runs forward — emission order shares
-    nothing with reading order, so extraction equality proves the
-    layout sort really ran.  Texts are oracle-replayable:
-    prefix ``p(<i>)`` (parens exercise string escaping), body
-    ``md5('<media_ref>:l<i>')`` hex."""
+def _synth_runs(media_ref: str, doc_id: int) -> list[list[tuple[float, float, str]]]:
+    """The per-doc text runs as one list PER PAGE, SCRAMBLED within each
+    page: all body runs first in reverse line order, then the prefix
+    runs forward — emission order shares nothing with reading order, so
+    extraction equality proves the layout sort really ran.  Every fourth
+    doc gets a SECOND page (multi-Kids path).  Texts are
+    oracle-replayable: prefix ``p(<i>)`` (parens exercise string
+    escaping), body ``md5('<media_ref>:l<i>')`` hex on page 0 and
+    ``md5('<media_ref>:p1l<i>')`` on page 1."""
     import hashlib
 
     n_lines = 3 + doc_id % 3
-    prefixes, bodies = [], []
-    for ln in range(n_lines):
-        yy = 720.0 - 14.0 * ln
-        prefixes.append((72.0, yy, f"p({ln})"))
-        bodies.append((130.0, yy, hashlib.md5(f"{media_ref}:l{ln}".encode()).hexdigest()))
-    return bodies[::-1] + prefixes
+    n_pages = 2 if doc_id % 4 == 0 else 1
+    pages = []
+    for pg in range(n_pages):
+        tag = "l" if pg == 0 else f"p{pg}l"
+        prefixes, bodies = [], []
+        for ln in range(n_lines):
+            yy = 720.0 - 14.0 * ln
+            prefixes.append((72.0, yy, f"p({ln})"))
+            bodies.append(
+                (130.0, yy, hashlib.md5(f"{media_ref}:{tag}{ln}".encode()).hexdigest())
+            )
+        pages.append(bodies[::-1] + prefixes)
+    return pages
 
 
 def synth_pdf_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """One GENUINE single-page PDF per document (media_ref
-    ``pdf:<doc_id>``, kind ``document``); even doc_ids get a
-    FlateDecode-compressed content stream, odd ids raw — both paths of
-    the extractor are exercised on every corpus."""
+    """One GENUINE PDF per document (media_ref ``pdf:<doc_id>``, kind
+    ``document``); even doc_ids get FlateDecode-compressed content
+    streams, odd ids raw, and every fourth doc is TWO pages — all
+    parser paths are exercised on every corpus."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -394,7 +430,9 @@ def synth_pdf_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             refs, payloads = [], []
             for doc_id in ids:
                 ref = f"pdf:{doc_id}"
-                payload = _encode_pdf(_synth_runs(ref, int(doc_id)), compress=int(doc_id) % 2 == 0)
+                payload = _encode_pdf(
+                    [], compress=int(doc_id) % 2 == 0, pages=_synth_runs(ref, int(doc_id))
+                )
                 refs.append(ref)
                 payloads.append(payload)
             yield pd.DataFrame(
@@ -411,28 +449,53 @@ def synth_pdf_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return docs.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
-def pdf_extract_text_df(media_df: DataFrame) -> DataFrame:
+PDF_TEXT_PERMISSIVE_SCHEMA = StructType(
+    list(PDF_TEXT_SCHEMA.fields) + [StructField("error", StringType())]
+)
+
+
+def pdf_extract_text_df(media_df: DataFrame, permissive: bool = False) -> DataFrame:
     """binary PDF payload → reading-order text via Arrow-batched
     mapInPandas (partition-preserving, zero shuffle).  Output:
-    (doc_id, media_ref, n_lines, n_chars, text)."""
+    (doc_id, media_ref, n_lines, n_chars, text).
+
+    ``permissive=True`` adds an ``error`` column and keeps the job alive
+    on malformed payloads (text NULL, the parser's message captured) —
+    at 10^12 scraped docs a single corrupt file must not kill the stage;
+    the default strict mode fails fast, which is what the oracle-gated
+    synthetic corpus wants."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
 
         for pdf_batch in batches:
-            texts = [extract_pdf_text(bytes(p)) for p in pdf_batch["payload"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf_batch["doc_id"],
-                    "media_ref": pdf_batch["media_ref"],
-                    "n_lines": [t.count("\n") + 1 if t else 0 for t in texts],
-                    "n_chars": [len(t) for t in texts],
-                    "text": texts,
-                }
-            )
+            texts, errors = [], []
+            for p in pdf_batch["payload"]:
+                if permissive:
+                    try:
+                        texts.append(extract_pdf_text(bytes(p)))
+                        errors.append(None)
+                    except Exception as exc:  # malformed payload — keep going
+                        texts.append(None)
+                        errors.append(f"{type(exc).__name__}: {exc}")
+                else:
+                    texts.append(extract_pdf_text(bytes(p)))
+            out = {
+                "doc_id": pdf_batch["doc_id"],
+                "media_ref": pdf_batch["media_ref"],
+                "n_lines": [
+                    (t.count("\n") + 1 if t else 0) if t is not None else None
+                    for t in texts
+                ],
+                "n_chars": [len(t) if t is not None else None for t in texts],
+                "text": texts,
+            }
+            if permissive:
+                out["error"] = errors
+            yield pd.DataFrame(out)
 
     return media_df.select("doc_id", "media_ref", "payload").mapInPandas(
-        run, schema=PDF_TEXT_SCHEMA
+        run, schema=PDF_TEXT_PERMISSIVE_SCHEMA if permissive else PDF_TEXT_SCHEMA
     )
 
 

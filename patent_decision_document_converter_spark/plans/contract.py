@@ -1955,21 +1955,32 @@ def media_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _media_pdf_sql() -> str:
+def _pdf_lines_cte() -> str:
+    """Shared oracle CTE: replay every synthesized PDF's reading-order
+    lines (page 0 tag ``l``, page 1 tag ``p1l`` on doc_id % 4 == 0
+    docs) from the md5 chain — mirrors ``pdf._synth_runs``."""
     from ..operators import pdf as _pdf
 
     return f"""
-WITH lines AS (
-  SELECT d.doc_id, 'pdf:' || d.doc_id AS media_ref, ln.ln,
-         'p(' || ln.ln || ') ' || md5('pdf:' || d.doc_id || ':l' || ln.ln) AS line
+  SELECT d.doc_id, 'pdf:' || d.doc_id AS media_ref, pg.pg, ln.ln,
+         'p(' || ln.ln || ') ' || md5('pdf:' || d.doc_id || ':'
+            || CASE WHEN pg.pg = 0 THEN 'l' ELSE 'p1l' END || ln.ln) AS line
   FROM documents d
+  CROSS JOIN (SELECT unnest(range(2)) AS pg) pg
   CROSS JOIN (SELECT unnest(range({_pdf.PDF_MAX_LINES})) AS ln) ln
-  WHERE ln.ln < 3 + d.doc_id % 3
+  WHERE ln.ln < 3 + d.doc_id % 3 AND (pg.pg = 0 OR d.doc_id % 4 = 0)
+"""
+
+
+def _media_pdf_sql() -> str:
+    return f"""
+WITH lines AS (
+{_pdf_lines_cte()}
 ),
 agg AS (
   SELECT doc_id, media_ref,
          COUNT(*) AS n_lines,
-         string_agg(line, chr(10) ORDER BY ln) AS text
+         string_agg(line, chr(10) ORDER BY pg, ln) AS text
   FROM lines GROUP BY doc_id, media_ref
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id, media_ref,
@@ -2031,18 +2042,12 @@ def media_enrich_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _media_enrich_sql() -> str:
-    from ..operators import pdf as _pdf
-
     return f"""
 WITH pdf_lines AS (
-  SELECT d.doc_id, ln.ln,
-         'p(' || ln.ln || ') ' || md5('pdf:' || d.doc_id || ':l' || ln.ln) AS line
-  FROM documents d
-  CROSS JOIN (SELECT unnest(range({_pdf.PDF_MAX_LINES})) AS ln) ln
-  WHERE ln.ln < 3 + d.doc_id % 3
+{_pdf_lines_cte()}
 ),
 pdf_text AS (
-  SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS text
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pg, ln) AS text
   FROM pdf_lines GROUP BY doc_id
 ),
 seq AS (
@@ -2063,6 +2068,80 @@ FROM seq
 
 
 _MEDIA_ENRICH_SQL = _media_enrich_sql()
+
+
+def extract_main_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unified main-content extraction dispatcher over a MIXED
+    corpus: every third doc is a genuine PDF (layout-parse leg), every
+    third an HTML page with a link-dense nav block (DOM-heuristic leg),
+    every third messy plain text (normalize leg).  All payloads are
+    md5-derived so DuckDB replays each leg's expected main text without
+    running any extractor."""
+    from ..operators import extract as exmod
+    from ..operators import pdf as pdfmod
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+
+    pdfs = pdfmod.synth_pdf_table(docs.filter(F.col("doc_id") % 3 == 0)).select(
+        "doc_id", "media_ref", F.lit("pdf").alias("format"), "payload"
+    )
+    m1 = F.md5(F.concat(F.lit("m1:"), did))
+    m2 = F.md5(F.concat(F.lit("m2:"), did))
+    nav = F.md5(F.concat(F.lit("nav:"), did))
+    html_str = F.concat(
+        F.lit('<div><a href="#">'), nav, F.lit("</a></div><p>"), m1, F.lit(" "), m2, F.lit("</p>")
+    )
+    htmls = docs.filter(F.col("doc_id") % 3 == 1).select(
+        did.alias("doc_id"),
+        F.concat(F.lit("html:"), did).alias("media_ref"),
+        F.lit("html").alias("format"),
+        F.encode(html_str, "UTF-8").alias("payload"),
+    )
+    t1 = F.md5(F.concat(F.lit("t1:"), did))
+    t2 = F.md5(F.concat(F.lit("t2:"), did))
+    txt_str = F.concat(F.lit("  "), t1, F.lit(" \n\n "), t2, F.lit("\t"))
+    txts = docs.filter(F.col("doc_id") % 3 == 2).select(
+        did.alias("doc_id"),
+        F.concat(F.lit("txt:"), did).alias("media_ref"),
+        F.lit("txt").alias("format"),
+        F.encode(txt_str, "UTF-8").alias("payload"),
+    )
+    mixed = pdfs.unionByName(htmls).unionByName(txts)
+    out = exmod.extract_main_content(mixed)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "media_ref",
+        "format",
+        F.md5(F.col("main_text")).alias("main_md5"),
+        F.length("main_text").cast("long").alias("n_chars"),
+    )
+
+
+def _extract_dispatch_sql() -> str:
+    return f"""
+WITH pdf_lines AS (
+{_pdf_lines_cte()}
+),
+pdf_text AS (
+  SELECT doc_id, media_ref, string_agg(line, chr(10) ORDER BY pg, ln) AS text
+  FROM pdf_lines WHERE doc_id % 3 = 0 GROUP BY doc_id, media_ref
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, media_ref, 'pdf' AS format,
+       md5(text) AS main_md5, CAST(length(text) AS BIGINT) AS n_chars
+FROM pdf_text
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 'html:' || doc_id, 'html',
+       md5(md5('m1:' || doc_id) || ' ' || md5('m2:' || doc_id)), 65
+FROM documents WHERE doc_id % 3 = 1
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 'txt:' || doc_id, 'txt',
+       md5(md5('t1:' || doc_id) || ' ' || md5('t2:' || doc_id)), 65
+FROM documents WHERE doc_id % 3 = 2
+"""
+
+
+_EXTRACT_DISPATCH_SQL = _extract_dispatch_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -2341,6 +2420,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "media_features_png": (media_features_png, _MEDIA_PNG_SQL),
     "media_pdf_extract": (media_pdf_extract, _MEDIA_PDF_SQL),
     "media_enrich_spans": (media_enrich_spans, _MEDIA_ENRICH_SQL),
+    "extract_main_dispatch": (extract_main_dispatch, _EXTRACT_DISPATCH_SQL),
     # relational coverage — headline shapes first, generic demos last
     # (the demos past position 50 stay green under the in-suite gate)
     "events_sessionize": (events_sessionize, _SESSIONIZE_SQL),

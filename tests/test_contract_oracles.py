@@ -27,6 +27,7 @@ SUBSET = [
     "media_features",
     "media_features_png",
     "media_pdf_extract",
+    "extract_main_dispatch",
     "convert_office_action",
     "convert_interleaved_spans",
 ]

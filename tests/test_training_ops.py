@@ -1024,12 +1024,14 @@ def test_pdf_roundtrip_scrambled_layout():
 
     for doc_id in (0, 1, 4, 5):
         ref = f"pdf:{doc_id}"
-        runs = pdfmod._synth_runs(ref, doc_id)
-        payload = pdfmod._encode_pdf(runs, compress=doc_id % 2 == 0)
+        pages = pdfmod._synth_runs(ref, doc_id)
+        assert len(pages) == (2 if doc_id % 4 == 0 else 1)
+        payload = pdfmod._encode_pdf([], compress=doc_id % 2 == 0, pages=pages)
         assert payload.startswith(b"%PDF-1.4")
         n_lines = 3 + doc_id % 3
         expected = "\n".join(
-            f"p({ln}) " + hashlib.md5(f"{ref}:l{ln}".encode()).hexdigest()
+            f"p({ln}) " + hashlib.md5(f"{ref}:{tag}{ln}".encode()).hexdigest()
+            for tag in (("l", "p1l") if doc_id % 4 == 0 else ("l",))
             for ln in range(n_lines)
         )
         assert pdfmod.extract_pdf_text(payload) == expected
@@ -1094,10 +1096,11 @@ def test_pdf_spark_stages_shuffle_free(spark):
     assert len(rows) == 8
     for i in range(8):
         r = rows[str(i)]
-        n_lines = 3 + i % 3
+        n_lines = (3 + i % 3) * (2 if i % 4 == 0 else 1)
         expected = "\n".join(
-            f"p({ln}) " + hashlib.md5(f"pdf:{i}:l{ln}".encode()).hexdigest()
-            for ln in range(n_lines)
+            f"p({ln}) " + hashlib.md5(f"pdf:{i}:{tag}{ln}".encode()).hexdigest()
+            for tag in (("l", "p1l") if i % 4 == 0 else ("l",))
+            for ln in range(3 + i % 3)
         )
         assert r["text"] == expected
         assert r["n_lines"] == n_lines
@@ -1136,3 +1139,51 @@ def test_enrich_media_spans_splices_and_passes_through(spark):
     ]
     d2 = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in out["d2"]]
     assert d2 == [("text", "only", "", 0)]
+
+
+def test_pdf_permissive_mode_survives_corrupt_payloads(spark):
+    """A corrupt payload in strict mode kills the stage; in permissive
+    mode the row carries NULL text + the parser error and good rows are
+    unaffected."""
+    from patent_decision_document_converter_spark.operators import pdf as pdfmod
+
+    good = pdfmod._encode_pdf([(72.0, 700.0, "ok")], compress=False)
+    media = spark.createDataFrame(
+        [("g", "pdf:g", bytearray(good)), ("b", "pdf:b", bytearray(b"%PDF-garbage"))],
+        "doc_id string, media_ref string, payload binary",
+    )
+    out = {r["doc_id"]: r for r in pdfmod.pdf_extract_text_df(media, permissive=True).collect()}
+    assert out["g"]["text"] == "ok" and out["g"]["error"] is None
+    assert out["b"]["text"] is None and "startxref" in out["b"]["error"]
+    with pytest.raises(Exception):
+        pdfmod.pdf_extract_text_df(media).collect()
+
+
+def test_extract_main_content_dispatch_legs(spark):
+    """Format routing: html → boilerplate-stripped main text (nav
+    dropped, all-boilerplate doc kept as NULL), pdf → layout text,
+    txt → whitespace normalize, unknown → NULL with format echoed."""
+    from patent_decision_document_converter_spark.operators import extract as exmod
+    from patent_decision_document_converter_spark.operators import pdf as pdfmod
+
+    good_pdf = pdfmod._encode_pdf([(72.0, 700.0, "pdf body")], compress=True)
+    long_p = "x" * 60
+    rows = [
+        ("h1", "html:h1", "html",
+         f'<div><a href="#">navnav</a></div><p>{long_p}</p>'.encode()),
+        ("h2", "html:h2", "html",
+         b'<div><a href="#">only boilerplate nav</a></div>'),
+        ("p1", "pdf:p1", "pdf", good_pdf),
+        ("t1", "txt:t1", "txt", b"  a\n\n b\t"),
+        ("u1", "bin:u1", "mp4", b"\x00\x01"),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id string, media_ref string, format string, payload binary"
+    )
+    out = {r["doc_id"]: r for r in exmod.extract_main_content(media).collect()}
+    assert len(out) == 5
+    assert out["h1"]["main_text"] == long_p
+    assert out["h2"]["main_text"] is None and out["h2"]["format"] == "html"
+    assert out["p1"]["main_text"] == "pdf body"
+    assert out["t1"]["main_text"] == "a b"
+    assert out["u1"]["main_text"] is None and out["u1"]["format"] == "mp4"
