@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "corpus_redact_pii",
     "corpus_tfidf_top_terms",
     "corpus_html_main_content",
+    "corpus_html_dom_hints",
     "corpus_token_batches",
     "corpus_chunk_docs",
     "convert_interleaved_spans",

@@ -186,6 +186,17 @@ def html_strip(col: Column) -> Column:
     return F.trim(F.regexp_replace(c, r"[ \t\n\x0b\f\r]+", " "))
 
 
+# Arc90-readability-style class/id hint lists (readability.js
+# REGEXPS.unlikelyCandidates / .positive — public heuristic, substring
+# match over the concatenated class+id attribute values).  Alternations
+# of literals only: identical semantics in Java regex and DuckDB's RE2.
+DOM_NEG_RE = (
+    "(?i)(comment|footer|nav|menu|sidebar|banner|breadcrumb|masthead"
+    "|advert|promo|share|social|sponsor|widget|popup|shoutbox)"
+)
+DOM_POS_RE = "(?i)(article|body|content|entry|hentry|main|page|post|text|blog|story)"
+
+
 def html_main_content(
     df: DataFrame,
     html_col: str = "html",
@@ -194,6 +205,7 @@ def html_main_content(
     max_link_density_permille: int = 500,
     carry_cols: tuple = (),
     keep_empty: bool = False,
+    dom_hints: bool = False,
 ) -> DataFrame:
     """Main-content extraction from HTML documents — the classic
     text-density heuristic (Arc90/boilerpipe family) relationally:
@@ -216,6 +228,16 @@ def html_main_content(
     metadata like media_ref/format — saves the caller a re-join);
     ``keep_empty=True`` keeps docs whose every block was dropped (NULL
     ``main_text``, ``n_blocks_kept`` 0) instead of omitting them.
+
+    ``dom_hints=True`` adds the Arc90-readability class/id heuristic on
+    top of the density gate: the class/id attribute values of the tags
+    opened inside a block vote on it.  A negative hint (comment, footer,
+    nav, sidebar, …) without a positive one DROPS the block even when it
+    is long and link-sparse (the classic miss of pure density: comment
+    sections and legal footers); a positive hint (article, content,
+    post, …) RESCUES a block down to half ``min_block_chars`` (short
+    lead paragraphs inside the content container).  Still pure column
+    expressions — two regexp_extract_all + two rlike per block.
     """
     blocks = df.select(
         F.col(id_col),
@@ -237,18 +259,39 @@ def html_main_content(
             i < n_lp - 1, F.regexp_extract(x, r"(?si).*<a[^>]*>(.*)$", 1)
         ).otherwise(F.lit("")),
     )
+    hint_cols = []
+    if dom_hints:
+        # all class/id attribute values opened in this block (the block
+        # split removes CLOSING tags, so opening tags stay in `raw`)
+        hints = F.concat_ws(
+            " ",
+            F.concat_ws(
+                " ", F.regexp_extract_all("raw", F.lit(r'(?i)(?:class|id)\s*="([^"]*)"'), F.lit(1))
+            ),
+            F.concat_ws(
+                " ", F.regexp_extract_all("raw", F.lit(r"(?i)(?:class|id)\s*='([^']*)'"), F.lit(1))
+            ),
+        )
+        hint_cols = [hints.alias("_hints")]
     stripped = blocks.select(
         F.col(id_col),
         *[F.col(c) for c in carry_cols],
         "block_no",
         html_strip(F.col("raw")).alias("btext"),
         html_strip(F.concat_ws(" ", link_texts)).alias("ltext"),
+        *hint_cols,
     )
     # keep: long enough, and link-text mass at most max_link_density
     # (integer cross-multiplication — no float division)
     keep_cond = (F.length("btext") >= min_block_chars) & (
         F.lit(1000) * F.length("ltext") <= F.lit(max_link_density_permille) * F.length("btext")
     )
+    if dom_hints:
+        pos = F.col("_hints").rlike(DOM_POS_RE)
+        neg = F.col("_hints").rlike(DOM_NEG_RE) & ~pos
+        keep_cond = ~neg & (
+            keep_cond | (pos & (F.length("btext") >= max(1, min_block_chars // 2)))
+        )
     if keep_empty:
         # group over ALL blocks; collect_list drops the NULLs the when()
         # leaves for rejected blocks, so the kept set is identical — but

@@ -39,6 +39,7 @@ def extract_main_content(
     min_block_chars: int = 40,
     max_link_density_permille: int = 500,
     permissive_pdf: bool = False,
+    dom_hints: bool = False,
 ) -> DataFrame:
     """Route (doc_id, media_ref, format, payload) rows to the
     format-appropriate main-content extractor; returns one row per input
@@ -59,6 +60,7 @@ def extract_main_content(
         max_link_density_permille=max_link_density_permille,
         carry_cols=("media_ref", "format"),
         keep_empty=True,
+        dom_hints=dom_hints,
     ).select("doc_id", "media_ref", "format", "main_text")
 
     pdf = base.filter(F.col("format") == "pdf")

@@ -2144,6 +2144,68 @@ FROM documents WHERE doc_id % 3 = 2
 _EXTRACT_DISPATCH_SQL = _extract_dispatch_sql()
 
 
+def corpus_html_dom_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arc90 class/id DOM-hint heuristic vs the pure density gate, both
+    under one hard oracle.  Every doc gets the same md5-synthesized page:
+    a long plain-text block inside ``class="comments"`` (density keeps
+    it, hints drop it), a short block inside ``id="article-body"``
+    (density drops it, hints rescue it), a positive-hinted and an
+    unhinted content block (both keep), and a link farm (both drop).
+    All block texts are md5 hex, so DuckDB reconstructs BOTH extractors'
+    exact outputs literally — no HTML parsing on the oracle side."""
+    from ..operators import corpus
+
+    did = F.col("doc_id").cast("string")
+
+    def h(tag):
+        return F.md5(F.concat(F.lit(tag + ":"), did))
+
+    page = F.concat(
+        F.lit('<html><body><div class="comments">'), h("c1"), F.lit(" "), h("c2"),
+        F.lit('</div><div id="article-body">'), h("a1"),
+        F.lit('</div><div class="post-text">'), h("p1"), F.lit(" "), h("p2"),
+        F.lit("</div><div>"), h("m1"), F.lit(" "), h("m2"),
+        F.lit('</div><div><a href="#">'), h("l1"), F.lit(" "), h("l2"),
+        F.lit("</a></div></body></html>"),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", page.alias("html"))
+    hinted = corpus.html_main_content(docs, dom_hints=True).select(
+        "doc_id",
+        F.md5("main_text").alias("hint_md5"),
+        F.col("n_blocks_kept").alias("hint_blocks"),
+    )
+    base = corpus.html_main_content(docs).select(
+        "doc_id",
+        F.md5("main_text").alias("base_md5"),
+        F.col("n_blocks_kept").alias("base_blocks"),
+    )
+    return (
+        hinted.join(base, "doc_id")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "hint_md5", "hint_blocks", "base_md5", "base_blocks",
+        )
+    )
+
+
+_HTML_DOM_HINTS_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         md5('c1:' || doc_id) || ' ' || md5('c2:' || doc_id) AS c,
+         md5('a1:' || doc_id) AS a,
+         md5('p1:' || doc_id) || ' ' || md5('p2:' || doc_id) AS p,
+         md5('m1:' || doc_id) || ' ' || md5('m2:' || doc_id) AS mm
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       md5(a || chr(10) || p || chr(10) || mm) AS hint_md5,
+       CAST(3 AS BIGINT) AS hint_blocks,
+       md5(c || chr(10) || p || chr(10) || mm) AS base_md5,
+       CAST(3 AS BIGINT) AS base_blocks
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # conversion engine — oracle = REFERENCE-computed expectations
 #
@@ -2393,7 +2455,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_topk_bruteforce": (ann_topk_bruteforce, _ANN_BF_SQL),
     "ann_topk_ivf": (ann_topk_ivf, _ANN_IVF_SQL),
     "ann_topk_ivf_kmeans": (ann_topk_ivf_kmeans, _ANN_IVF_KMEANS_SQL),
-    "ann_topk_ivf_kmeans_join": (ann_topk_ivf_kmeans_join, _ANN_IVF_KMEANS_SQL),
     "ann_topk_ivf_kmeans_probe4": (ann_topk_ivf_kmeans_probe4, _ivf_kmeans_sql(n_probe=4)),
     "ann_topk_lsh": (ann_topk_lsh, _ANN_LSH_SQL),
     "ann_topk_lsh_multiprobe": (ann_topk_lsh_multiprobe, _ANN_LSH_MP_SQL),
@@ -2412,6 +2473,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "corpus_redact_pii": (corpus_redact_pii, _REDACT_SQL),
     "corpus_tfidf_top_terms": (corpus_tfidf_top_terms, _TFIDF_SQL),
     "corpus_html_main_content": (corpus_html_main_content, _HTML_MAIN_SQL),
+    "corpus_html_dom_hints": (corpus_html_dom_hints, _HTML_DOM_HINTS_SQL),
     "corpus_token_batches": (corpus_token_batches, _TOKEN_BATCHES_SQL),
     "corpus_chunk_docs": (corpus_chunk_docs, _CHUNK_DOCS_SQL),
     # multimodal plumbing
@@ -2427,6 +2489,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_hourly": (events_hourly, _HOURLY_SQL),
     "events_json_extract": (events_json_extract, _JSON_SQL),
     "events_funnel": (events_funnel, _FUNNEL_SQL),
+    # proof-twin of ann_topk_ivf_kmeans (same oracle; k>>10^3 assignment
+    # shape) — kept exposed but placed past the driver window to keep the
+    # 50 driver-checked slots on distinct operators
+    "ann_topk_ivf_kmeans_join": (ann_topk_ivf_kmeans_join, _ANN_IVF_KMEANS_SQL),
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
     "q3_top_orders": (q3_top_orders, _Q3_SQL),
     "revenue_by_nation": (revenue_by_nation, _REV_NATION_SQL),

@@ -25,6 +25,7 @@ SUBSET = [
     "corpus_token_batches",
     "corpus_chunk_docs",
     "media_features",
+    "corpus_html_dom_hints",
     "media_features_png",
     "media_pdf_extract",
     "extract_main_dispatch",

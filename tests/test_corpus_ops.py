@@ -102,6 +102,36 @@ def test_html_main_content_keeps_article_drops_boilerplate(spark):
         assert boiler not in r["main_text"]
 
 
+def test_html_main_content_dom_hints(spark):
+    """Arc90 class/id hints fix the density gate's two classic misses:
+    a long link-sparse comment section is DROPPED, and a short paragraph
+    inside the positively-hinted content container is RESCUED.  A
+    negative hint alongside a positive one does not drop the block."""
+    html = (
+        "<html><body>"
+        '<div class="comments">Reader comment thread with plenty of plain '
+        "prose that the pure density gate would happily keep around.</div>"
+        '<div id="article-body">Short but real lead paragraph.</div>'
+        '<div class="main-content sidebar">Mixed hints: positive wins, this '
+        "genuinely long content block stays in the extraction output.</div>"
+        "<div>Unhinted long paragraph of genuine article text that passes "
+        "the plain length and link-density gates unchanged.</div>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    hinted = corpus.html_main_content(df, dom_hints=True).collect()[0]
+    base = corpus.html_main_content(df).collect()[0]
+    assert hinted["n_blocks_kept"] == 3
+    lines = hinted["main_text"].split("\n")
+    assert lines[0] == "Short but real lead paragraph."
+    assert lines[1].startswith("Mixed hints")
+    assert lines[2].startswith("Unhinted long paragraph")
+    assert "comment thread" not in hinted["main_text"]
+    # the density-only path keeps the comments and misses the short lead
+    assert "comment thread" in base["main_text"]
+    assert "Short but real" not in base["main_text"]
+
+
 def test_html_strip_entities_and_tags(spark):
     df = spark.createDataFrame(
         [(1, "a &lt;tag&gt; &amp; &quot;q&quot; &#39;s&#39; <b>bold</b>  end")],
