@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from .corpus import html_main_content
 from .pdf import pdf_extract_text_df
 
-_OUT_COLS = ("doc_id", "media_ref", "format", "main_text")
+_OUT_COLS = ("doc_id", "media_ref", "format", "main_text", "error")
 
 
 def extract_main_content(
@@ -44,7 +44,10 @@ def extract_main_content(
     """Route (doc_id, media_ref, format, payload) rows to the
     format-appropriate main-content extractor; returns one row per input
     row with ``main_text`` (NULL for unknown formats or, when
-    ``permissive_pdf``, unparseable PDFs)."""
+    ``permissive_pdf``, unparseable PDFs) and ``error`` (NULL except for
+    rows a permissive PDF parse rejected — the parser's message, so a
+    10^12-doc run can aggregate failure modes without re-reading
+    payloads; ``'unsupported format'`` for unknown-format rows)."""
     base = media_df.select("doc_id", "media_ref", "format", "payload")
 
     html = base.filter(F.col("format") == "html").select(
@@ -61,14 +64,19 @@ def extract_main_content(
         carry_cols=("media_ref", "format"),
         keep_empty=True,
         dom_hints=dom_hints,
-    ).select("doc_id", "media_ref", "format", "main_text")
+    ).select(
+        "doc_id", "media_ref", "format", "main_text",
+        F.lit(None).cast("string").alias("error"),
+    )
 
     pdf = base.filter(F.col("format") == "pdf")
-    pdf_out = pdf_extract_text_df(pdf, permissive=permissive_pdf).select(
+    pdf_parsed = pdf_extract_text_df(pdf, permissive=permissive_pdf)
+    pdf_out = pdf_parsed.select(
         "doc_id",
         "media_ref",
         F.lit("pdf").alias("format"),
         F.col("text").alias("main_text"),
+        (F.col("error") if permissive_pdf else F.lit(None).cast("string")).alias("error"),
     )
 
     txt = base.filter(F.col("format") == "txt").select(
@@ -78,10 +86,15 @@ def extract_main_content(
         F.trim(F.regexp_replace(F.decode("payload", "UTF-8"), r"[ \t\n\x0b\f\r]+", " ")).alias(
             "main_text"
         ),
+        F.lit(None).cast("string").alias("error"),
     )
 
     other = base.filter(~F.col("format").isin("html", "pdf", "txt")).select(
-        "doc_id", "media_ref", "format", F.lit(None).cast("string").alias("main_text")
+        "doc_id",
+        "media_ref",
+        "format",
+        F.lit(None).cast("string").alias("main_text"),
+        F.lit("unsupported format").alias("error"),
     )
 
     return (

@@ -81,3 +81,23 @@ def write_documents(df: DataFrame, path: str, n_buckets: int = 32) -> None:
 
 def read_documents(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_media(df: DataFrame, path: str, n_buckets: int = 32) -> None:
+    """Write a media sidecar table (doc_id, media_ref, format, payload)
+    partitioned by (bucket, format).
+
+    Both partition keys turn the extraction job's filters into pure
+    partition pruning: the resume path's ``bucket NOT IN done`` skips
+    completed buckets without opening a file, and each dispatcher leg's
+    ``format = 'html'|'pdf'|'txt'`` filter reads ONLY its own format's
+    files — the four per-leg scans over one mixed table stop re-reading
+    shared row groups (PLANS.md round-4 audit).  Bucket is the same
+    doc_id-hash function as :func:`write_documents`, so the media table
+    stays aligned with its documents table."""
+    (
+        df.withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"))
+        .write.mode("overwrite")
+        .partitionBy("bucket", "format")
+        .parquet(path)
+    )

@@ -181,6 +181,40 @@ def test_extract_job_cli_end_to_end(paths, tmp_path):
     assert metrics["docs"] == 6 and metrics["media_texts"] == 3
 
 
+def test_partitioned_media_layout_prunes_per_leg(spark, paths, tmp_path):
+    """write_media partitions by (bucket, format): each dispatcher leg's
+    format filter becomes partition pruning (visible as PartitionFilters
+    in the scan), and the job over the partitioned layout produces the
+    same output as over the flat layout."""
+    from patent_decision_document_converter_spark.sources.documents import write_media
+
+    docs_path, media_path = paths
+    part_path = str(tmp_path / "media_part")
+    write_media(spark.read.parquet(media_path), part_path, n_buckets=4)
+
+    media = spark.read.parquet(part_path)
+    leg = media.filter(F.col("format") == "pdf")
+    plan = leg._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "format" in plan.split("PartitionFilters")[1][:200]
+
+    out_path = str(tmp_path / "out_part")
+    m = run_extract_job(spark, docs_path, part_path, out_path, n_buckets=4)
+    assert m["docs"] == 6 and m["media_texts"] == 3
+    flat = {
+        r["doc_id"]: [tuple(s) for s in r["spans"]]
+        for r in extract_and_enrich(
+            spark.read.parquet(docs_path), spark.read.parquet(media_path)
+        ).collect()
+    }
+    part = {
+        r["doc_id"]: [tuple(s) for s in r["spans"]]
+        for r in extract_and_enrich(
+            spark.read.parquet(docs_path), media
+        ).collect()
+    }
+    assert part == flat
+
+
 def test_strict_pdf_mode_fails_on_corrupt_payload(spark, paths, tmp_path):
     docs_path, media_path = paths
     with pytest.raises(Exception):

@@ -37,6 +37,33 @@ assert len(out) == 1, out
 assert out[0]["n_spans_out"] == 3, out
 assert out[0]["spans"][1]["media_ref"] == "m:1", out
 print("PYFILES_SMOKE_OK", out[0]["n_spans_out"])
+
+# the extraction pipeline must also resolve from the zip (north-rule
+# launch shape: media payloads -> dispatcher -> span splice)
+from patent_decision_document_converter_spark.operators.pdf import _encode_pdf
+from patent_decision_document_converter_spark.plans.extract_job import extract_and_enrich
+
+docs2 = create_documents_df(
+    spark,
+    [
+        {
+            "doc_id": "d2",
+            "spans": [
+                {"kind": "media", "text": "", "media_ref": "pdf:d2", "offset": 0},
+                {"kind": "text", "text": "本文", "media_ref": "", "offset": 1},
+            ],
+        }
+    ],
+)
+media = spark.createDataFrame(
+    [("d2", "pdf:d2", "pdf", bytearray(_encode_pdf([(72.0, 700.0, "fig text")], compress=True)))],
+    "doc_id string, media_ref string, format string, payload binary",
+)
+enr = extract_and_enrich(docs2, media).collect()
+kinds = [s["kind"] for s in enr[0]["spans"]]
+assert kinds == ["media", "media_text", "text"], enr
+assert enr[0]["spans"][1]["text"] == "fig text", enr
+print("PYFILES_EXTRACT_OK", len(kinds))
 spark.stop()
 """
 
@@ -67,3 +94,4 @@ def test_spark_submit_with_pyfiles_zip(tmp_path):
     )
     assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
     assert "PYFILES_SMOKE_OK 3" in res.stdout, res.stdout[-2000:] + res.stderr[-2000:]
+    assert "PYFILES_EXTRACT_OK 3" in res.stdout, res.stdout[-2000:] + res.stderr[-2000:]

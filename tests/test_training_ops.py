@@ -1187,3 +1187,17 @@ def test_extract_main_content_dispatch_legs(spark):
     assert out["p1"]["main_text"] == "pdf body"
     assert out["t1"]["main_text"] == "a b"
     assert out["u1"]["main_text"] is None and out["u1"]["format"] == "mp4"
+    assert out["u1"]["error"] == "unsupported format"
+    assert all(out[k]["error"] is None for k in ("h1", "h2", "p1", "t1"))
+
+    # permissive PDF leg surfaces the parser message in `error`
+    rows_bad = rows + [("p2", "pdf:p2", "pdf", b"%PDF-corrupt")]
+    media_bad = spark.createDataFrame(
+        rows_bad, "doc_id string, media_ref string, format string, payload binary"
+    )
+    out_bad = {
+        r["doc_id"]: r
+        for r in exmod.extract_main_content(media_bad, permissive_pdf=True).collect()
+    }
+    assert out_bad["p2"]["main_text"] is None and "startxref" in out_bad["p2"]["error"]
+    assert out_bad["p1"]["main_text"] == "pdf body" and out_bad["p1"]["error"] is None
