@@ -87,9 +87,19 @@ def run_extract_job(
     n_buckets: int = 32,
     resume: bool = True,
     permissive_pdf: bool = True,
+    convert_partitions: int | None = None,
+    salt_buckets: int = 0,
 ) -> dict:
     """spark-submit entry: read → extract → enrich → convert → bucketed
-    write with manifests.  Returns job metrics (buckets, docs, media)."""
+    write with manifests.  Returns job metrics (buckets, docs, media).
+
+    ``convert_partitions``/``salt_buckets`` forward to
+    :func:`.job.convert_documents`: the conversion stage otherwise runs
+    on the enrichment regroup's AQE-coalesced partitioning, which
+    targets shuffle BYTES — for the Python-heavy conversion stage whose
+    cost per byte is high, an explicit doc_id-hash repartition (salted
+    under skew) can be the better layout; measure per corpus (the A/B on
+    the uniform sandbox corpus is neutral, see BASELINE.md)."""
     docs = _with_bucket(spark.read.parquet(docs_path), n_buckets)
     media = _with_bucket(spark.read.parquet(media_path), n_buckets)
 
@@ -105,7 +115,9 @@ def run_extract_job(
         return metrics
 
     enriched = extract_and_enrich(docs, media, permissive_pdf=permissive_pdf)
-    out = convert_documents(enriched, mode).withColumn(
+    out = convert_documents(
+        enriched, mode, n_partitions=convert_partitions, salt_buckets=salt_buckets
+    ).withColumn(
         "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
     )
     (
