@@ -509,71 +509,85 @@ def enrich_media_spans(
 
     ``docs`` carries the input-hint shape (doc_id, spans:array<struct<
     kind,text,media_ref,offset>>); ``media_text`` is (doc_id, media_ref,
-    text) — e.g. :func:`pdf_extract_text_df` output.  For every
+    text) — e.g. :func:`pdf_extract_text_df` output, one row per
+    (doc_id, media_ref) (duplicate keys would fail the map build, by
+    design — extraction emits one row per media item).  For every
     ``kind='media'`` span whose (doc_id, media_ref) has extracted text,
     a ``kind='media_text'`` span with that text is inserted IMMEDIATELY
     after the media span; offsets are densely renumbered so the output
     again satisfies the (kind, text, media_ref, order) span-sequence
     invariant.  Media spans without extracted text (or non-PDF refs)
-    pass through untouched, as do all text spans.  Documents with an
-    EMPTY spans array are dropped (inner explode) — they carry nothing
-    to enrich; callers needing them union the empty docs back.
+    pass through untouched, as do all text spans — and documents with an
+    EMPTY spans array pass through unchanged (no explode to drop them).
 
-    Plan shape: explode → sort-merge join on (doc_id, media_ref) (media
-    text is doc-aligned, same cardinality as the docs — NOT broadcast;
-    at 10^12 docs both sides are huge and co-partition on doc_id) →
-    1-or-2-span fan-out via posexplode → groupBy reassembly ordered by
-    (offset, sub) → dense re-offset with ``transform``.  Two shuffles
-    total (join + regroup), pure JVM expressions end-to-end.
+    Plan shape (doc-level, no explode): aggregate ``media_text`` into a
+    per-doc map(media_ref → text) — one shuffle over the SMALL extracted
+    frame — then a single doc-level join on ``doc_id`` and a pure-JVM
+    array rewrite per row (``array_sort`` by offset → ``transform`` +
+    ``flatten`` 1-or-2 fan-out → dense re-offset).  The span arrays
+    themselves never pass through a shuffle as exploded rows: vs the
+    explode → join → posexplode → groupBy/collect_list reassembly shape
+    this halves shuffled bytes (the dominant term is the document text)
+    and removes the widest regroup stage — at 10^12 docs the regroup's
+    collect_list of every span was the scaling bottleneck.  Media text
+    is doc-aligned (same cardinality as the docs), so the join is NOT
+    broadcast; both sides co-partition on doc_id.
     """
-    ex = docs.select(
-        F.col(id_col), F.explode(F.col(spans_col)).alias("_s")
-    ).select(
-        id_col,
-        F.col("_s.kind").alias("kind"),
-        F.col("_s.text").alias("text"),
-        F.col("_s.media_ref").alias("media_ref"),
-        F.col("_s.offset").alias("offset"),
+    mt = media_text.groupBy(F.col("doc_id").alias("_mid")).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("media_ref"), F.col("text")))
+        ).alias("_mmap")
     )
-    mt = media_text.select(
-        F.col("doc_id").cast(dict(ex.dtypes)[id_col]).alias(id_col),
-        F.col("media_ref").alias("_mref"),
-        F.col("text").alias("_mtext"),
-    )
-    joined = ex.join(
-        mt,
-        (ex[id_col] == mt[id_col]) & (ex["kind"] == "media") & (ex["media_ref"] == mt["_mref"]),
+    id_t = dict(docs.select(F.col(id_col)).dtypes)[id_col]
+    joined = docs.join(
+        mt.select(F.col("_mid").cast(id_t).alias("_mid"), "_mmap"),
+        F.col(id_col) == F.col("_mid"),
         "left",
-    ).select(ex[id_col], "kind", "text", "media_ref", "offset", "_mtext")
+    ).drop("_mid")
+
     span_t = "struct<kind:string,text:string,media_ref:string>"
-    fanned = joined.select(
-        id_col,
-        "offset",
-        F.posexplode(
-            F.when(
-                F.col("_mtext").isNotNull(),
+    # input arrays may arrive in any order — the offset column IS the
+    # order key (input-hint invariant); sort by it before splicing
+    ordered = F.array_sort(
+        F.transform(
+            F.col(spans_col),
+            lambda s: F.struct(
+                s["offset"].alias("offset"),
+                F.struct(s["kind"], s["text"], s["media_ref"]).cast(span_t).alias("s"),
+            ),
+        )
+    )
+    # try_element_at, not element_at: under ANSI mode (Spark 4 default)
+    # element_at on a map THROWS for an absent key; try_ yields NULL,
+    # which is the pass-through signal here
+    mtext = lambda e: F.when(  # noqa: E731
+        e["s"]["kind"] == "media", F.try_element_at(F.col("_mmap"), e["s"]["media_ref"])
+    )
+    flat = F.flatten(
+        F.transform(
+            ordered,
+            lambda e: F.when(
+                mtext(e).isNotNull(),
                 F.array(
-                    F.struct("kind", "text", "media_ref").cast(span_t),
+                    e["s"],
                     F.struct(
                         F.lit("media_text").alias("kind"),
-                        F.col("_mtext").alias("text"),
-                        F.col("media_ref"),
+                        mtext(e).alias("text"),
+                        e["s"]["media_ref"].alias("media_ref"),
                     ).cast(span_t),
                 ),
-            ).otherwise(F.array(F.struct("kind", "text", "media_ref").cast(span_t)))
-        ).alias("_sub", "_s"),
+            ).otherwise(F.array(e["s"])),
+        )
     )
-    collected = fanned.groupBy(id_col).agg(
-        F.array_sort(F.collect_list(F.struct("offset", "_sub", "_s"))).alias("_arr")
-    )
-    return collected.select(
-        id_col,
+    keep = [c for c in docs.columns if c != spans_col]
+    return joined.select(
+        *keep,
         F.transform(
-            "_arr",
-            lambda e, i: F.struct(
-                e["_s"]["kind"].alias("kind"),
-                e["_s"]["text"].alias("text"),
-                e["_s"]["media_ref"].alias("media_ref"),
+            flat,
+            lambda s, i: F.struct(
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
                 i.cast("int").alias("offset"),
             ),
         ).alias(spans_col),

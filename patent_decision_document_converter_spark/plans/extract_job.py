@@ -64,18 +64,16 @@ def extract_and_enrich(
     Media rows whose extraction yields NULL (unknown format, or a
     corrupt PDF under ``permissive_pdf``) simply don't enrich — their
     media spans pass through untouched, the job keeps running.  Docs
-    with an empty spans array (dropped by the enrich explode) are
-    unioned back unchanged so the output doc set equals the input's.
+    with an empty spans array pass through the doc-level enrich join
+    unchanged, so the output doc set equals the input's.
     """
     extracted = extract_main_content(media, permissive_pdf=permissive_pdf).filter(
         F.col("main_text").isNotNull()
     )
-    enriched = enrich_media_spans(
+    return enrich_media_spans(
         docs.select("doc_id", "spans"),
         extracted.select("doc_id", "media_ref", F.col("main_text").alias("text")),
     )
-    empty = docs.filter(F.size("spans") == 0).select("doc_id", "spans")
-    return enriched.unionByName(empty)
 
 
 def run_extract_job(

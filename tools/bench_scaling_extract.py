@@ -149,17 +149,22 @@ def run_level(cpus: int, docs_dir: str, media_dir: str, n_partitions: int) -> di
     def pipeline(d, m):
         return convert_documents(extract_and_enrich(d, m), "officeAction")
 
-    # warm python workers (fork + pandas/pyarrow import + trie build) —
-    # on a long-lived cluster they exist per-executor, not per-job
-    warm_ids = docs.select("doc_id").limit(32 * cpus)
-    pipeline(docs.join(warm_ids, "doc_id"), media).select(F.count("*")).head()
+    # Steady-state warmup: one FULL-SIZE untimed pipeline run.  A small
+    # warmup (few hundred docs) forks the Python workers but leaves the
+    # JVM C2 JIT cold for the pure-JVM enrich/regroup codegen — measured
+    # first-rep cost is 4-8x steady state (45 s -> 10 s at local[8],
+    # 38 s -> 5 s at local[32] for the enrich stage alone).  On a
+    # long-lived cluster the JIT is warm after the first partitions of a
+    # 10^12-doc run; the north-rule experiment compares steady-state
+    # throughput at two cluster sizes, not JVM warmup.
+    pipeline(docs, media).select(F.count("*")).head()
 
-    # min-of-2 inside the child too: the host throttles in sustained
-    # bursts (identical pipeline runs measured 30 s vs 95 s minutes
-    # apart), so a single sample per JVM can land entirely inside one
-    # bad window — same doctrine as tools/bench_scaling.py
+    # min-of-3: the host throttles in sustained bursts (identical
+    # pipeline runs measured 1.2-2x apart minutes apart), so a single
+    # sample per JVM can land inside one bad window — same doctrine as
+    # tools/bench_scaling.py
     best = None
-    for _rep in range(2):
+    for _rep in range(3):
         t0 = time.time()
         agg = (
             pipeline(docs, media)
