@@ -219,13 +219,21 @@ def html_main_content(
        (link-text mass ≤ max_link_density_permille of block text),
     4. reassemble in document order.
 
-    Pure column expressions over an exploded block table — the explode is
-    the only row-multiplying step and the reassembly groups back on the
-    id: one shuffle, ~boilerpipe semantics, 100 TB-ready (per-document
-    work is linear; no Python).
+    Plan shape: ZERO shuffles — the block table is an ARRAY per row
+    (``split``), every per-block measurement runs inside ``transform``
+    lambdas, the keep-gate is an array ``filter``, and document-order
+    reassembly is ``array_join`` (arrays preserve order, so no block_no
+    window and no groupBy/collect_list regroup).  One narrow map stage
+    end-to-end, ~boilerpipe semantics, 100 TB-ready: per-document work
+    is linear, no Python, and the HTML leg adds NO exchange to whatever
+    partitioning the caller already has.  One row in → one row out
+    (``keep_empty=False`` drops zero-kept docs, as before; duplicate
+    ids are per-row now — the old regroup merged them, but doc_id is a
+    key per the input hint).
 
-    ``carry_cols`` ride through the groupBy unchanged (for 1:1-per-doc
-    metadata like media_ref/format — saves the caller a re-join);
+    ``carry_cols`` are retained unchanged (kept for signature
+    compatibility — with no regroup, ANY column would survive; only
+    (id, carry, main_text, n_blocks_kept) are selected).
     ``keep_empty=True`` keeps docs whose every block was dropped (NULL
     ``main_text``, ``n_blocks_kept`` 0) instead of omitting them.
 
@@ -239,88 +247,65 @@ def html_main_content(
     lead paragraphs inside the content container).  Still pure column
     expressions — two regexp_extract_all + two rlike per block.
     """
-    blocks = df.select(
-        F.col(id_col),
-        *[F.col(c) for c in carry_cols],
-        F.posexplode(
-            F.split(F.col(html_col), r"(?i)</(?:p|div|section|article|li|h[1-6])>|<br[^>]*>")
-        ).alias("block_no", "raw"),
+    blocks_arr = F.split(
+        F.col(html_col), r"(?i)</(?:p|div|section|article|li|h[1-6])>|<br[^>]*>"
     )
-    # link text mass: everything inside <a ...>...</a>.  Same linear
-    # construction as html_strip's block drop (the lazy
-    # `<a...>(.*?)</a>` form backtracks quadratically on unclosed <a>):
-    # split on </a>; in each non-final piece the link text is whatever
-    # follows the LAST <a...> open (greedy-prefix match, one pass).
-    link_parts = F.split(F.col("raw"), "(?i)</a>")
-    n_lp = F.size(link_parts)
-    link_texts = F.transform(
-        link_parts,
-        lambda x, i: F.when(
-            i < n_lp - 1, F.regexp_extract(x, r"(?si).*<a[^>]*>(.*)$", 1)
-        ).otherwise(F.lit("")),
-    )
-    hint_cols = []
-    if dom_hints:
-        # all class/id attribute values opened in this block (the block
-        # split removes CLOSING tags, so opening tags stay in `raw`)
-        hints = F.concat_ws(
-            " ",
-            F.concat_ws(
-                " ", F.regexp_extract_all("raw", F.lit(r'(?i)(?:class|id)\s*="([^"]*)"'), F.lit(1))
-            ),
-            F.concat_ws(
-                " ", F.regexp_extract_all("raw", F.lit(r"(?i)(?:class|id)\s*='([^']*)'"), F.lit(1))
-            ),
+
+    def score_block(raw: Column) -> Column:
+        # link text mass: everything inside <a ...>...</a>.  Same linear
+        # construction as html_strip's block drop (the lazy
+        # `<a...>(.*?)</a>` form backtracks quadratically on unclosed
+        # <a>): split on </a>; in each non-final piece the link text is
+        # whatever follows the LAST <a...> open (greedy-prefix match,
+        # one pass).
+        link_parts = F.split(raw, "(?i)</a>")
+        n_lp = F.size(link_parts)
+        link_texts = F.transform(
+            link_parts,
+            lambda x, i: F.when(
+                i < n_lp - 1, F.regexp_extract(x, r"(?si).*<a[^>]*>(.*)$", 1)
+            ).otherwise(F.lit("")),
         )
-        hint_cols = [hints.alias("_hints")]
-    stripped = blocks.select(
-        F.col(id_col),
-        *[F.col(c) for c in carry_cols],
-        "block_no",
-        html_strip(F.col("raw")).alias("btext"),
-        html_strip(F.concat_ws(" ", link_texts)).alias("ltext"),
-        *hint_cols,
-    )
-    # keep: long enough, and link-text mass at most max_link_density
-    # (integer cross-multiplication — no float division)
-    keep_cond = (F.length("btext") >= min_block_chars) & (
-        F.lit(1000) * F.length("ltext") <= F.lit(max_link_density_permille) * F.length("btext")
-    )
-    if dom_hints:
-        pos = F.col("_hints").rlike(DOM_POS_RE)
-        neg = F.col("_hints").rlike(DOM_NEG_RE) & ~pos
-        keep_cond = ~neg & (
-            keep_cond | (pos & (F.length("btext") >= max(1, min_block_chars // 2)))
+        btext = html_strip(raw)
+        ltext = html_strip(F.concat_ws(" ", link_texts))
+        # keep: long enough, and link-text mass at most max_link_density
+        # (integer cross-multiplication — no float division)
+        keep = (F.length(btext) >= min_block_chars) & (
+            F.lit(1000) * F.length(ltext)
+            <= F.lit(max_link_density_permille) * F.length(btext)
         )
-    if keep_empty:
-        # group over ALL blocks; collect_list drops the NULLs the when()
-        # leaves for rejected blocks, so the kept set is identical — but
-        # zero-kept docs survive with NULL main_text
-        return stripped.groupBy(id_col, *carry_cols).agg(
-            F.nullif(
+        if dom_hints:
+            # all class/id attribute values opened in this block (the
+            # block split removes CLOSING tags, so opening tags stay)
+            hints = F.concat_ws(
+                " ",
                 F.concat_ws(
-                    "\n",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.when(keep_cond, F.struct("block_no", "btext")))
-                        ),
-                        lambda s: s["btext"],
-                    ),
+                    " ",
+                    F.regexp_extract_all(raw, F.lit(r'(?i)(?:class|id)\s*="([^"]*)"'), F.lit(1)),
                 ),
-                F.lit(""),
-            ).alias("main_text"),
-            F.sum(keep_cond.cast("long")).cast("long").alias("n_blocks_kept"),
-        )
-    kept = stripped.filter(keep_cond)
-    return kept.groupBy(id_col, *carry_cols).agg(
-        F.concat_ws(
-            "\n",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("block_no", "btext"))), lambda s: s["btext"]
-            ),
-        ).alias("main_text"),
-        F.count("*").cast("long").alias("n_blocks_kept"),
+                F.concat_ws(
+                    " ",
+                    F.regexp_extract_all(raw, F.lit(r"(?i)(?:class|id)\s*='([^']*)'"), F.lit(1)),
+                ),
+            )
+            pos = hints.rlike(DOM_POS_RE)
+            neg = hints.rlike(DOM_NEG_RE) & ~pos
+            keep = ~neg & (
+                keep | (pos & (F.length(btext) >= max(1, min_block_chars // 2)))
+            )
+        return F.struct(btext.alias("btext"), keep.alias("keep"))
+
+    kept = F.filter(F.transform(blocks_arr, score_block), lambda s: s["keep"])
+    main_text = F.array_join(F.transform(kept, lambda s: s["btext"]), "\n")
+    out = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        (F.nullif(main_text, F.lit("")) if keep_empty else main_text).alias("main_text"),
+        F.size(kept).cast("long").alias("n_blocks_kept"),
     )
+    if keep_empty:
+        return out
+    return out.filter(F.col("n_blocks_kept") > 0)
 
 
 # ---------------------------------------------------------------------------

@@ -7,7 +7,7 @@ format, payload:binary) and routes each row to the right extractor:
 
 * ``html`` → UTF-8 decode + :func:`..operators.corpus.html_main_content`
   (block split, per-block link-density + length gate — the DOM-heuristic
-  / boilerplate leg; pure JVM expressions),
+  / boilerplate leg; pure JVM array expressions, zero shuffle),
 * ``pdf``  → :func:`..operators.pdf.pdf_extract_text_df` (structural
   parse + layout-order reconstruction; Arrow-batched ``mapInPandas``),
 * ``txt``  → UTF-8 decode, whitespace-normalized passthrough.
@@ -17,9 +17,9 @@ Unknown formats yield NULL ``main_text`` with the format echoed so a
 non-fatally (same philosophy as ``pdf_extract_text_df(permissive=)``).
 
 Plan shape: one filter per leg over the same scan (Catalyst merges the
-scans under one InMemoryFileIndex; each leg is shuffle-free except the
-HTML leg's block regroup), ``unionByName`` at the end — no join, no
-driver collection.  At scale the union is a no-op barrier: each leg
+scans under one InMemoryFileIndex; every leg is shuffle-free — the HTML
+leg's block pipeline is pure array expressions since the r4 rewrite),
+``unionByName`` at the end — no join, no driver collection.  At scale the union is a no-op barrier: each leg
 stays embarrassingly parallel.
 """
 
@@ -53,8 +53,8 @@ def extract_main_content(
     html = base.filter(F.col("format") == "html").select(
         "doc_id", "media_ref", "format", F.decode("payload", "UTF-8").alias("html")
     )
-    # carry_cols rides media_ref/format through the block regroup (no
-    # re-join); keep_empty preserves all-boilerplate docs as NULL rows
+    # carry_cols keeps media_ref/format in the output selection;
+    # keep_empty preserves all-boilerplate docs as NULL rows
     html_full = html_main_content(
         html,
         html_col="html",

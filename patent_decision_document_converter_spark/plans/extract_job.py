@@ -9,8 +9,7 @@ into the document, convert):
    media_ref, format, payload:binary),
 2. route every payload through :func:`..operators.extract.
    extract_main_content` (HTML boilerplate strip / PDF layout parse /
-   text normalize — per-format legs, each shuffle-free except the HTML
-   block regroup),
+   text normalize — per-format legs, all shuffle-free),
 3. splice the extracted text into the span sequences via
    :func:`..operators.pdf.enrich_media_spans` (co-partitioned join on
    doc_id, dense re-offset — the output re-satisfies the
@@ -93,7 +92,7 @@ def run_extract_job(
 
     ``convert_partitions``/``salt_buckets`` forward to
     :func:`.job.convert_documents`: the conversion stage otherwise runs
-    on the enrichment regroup's AQE-coalesced partitioning, which
+    on the enrich join's AQE-coalesced output partitioning, which
     targets shuffle BYTES — for the Python-heavy conversion stage whose
     cost per byte is high, an explicit doc_id-hash repartition (salted
     under skew) can be the better layout; measure per corpus (the A/B on

@@ -102,6 +102,20 @@ def test_html_main_content_keeps_article_drops_boilerplate(spark):
         assert boiler not in r["main_text"]
 
 
+def test_html_main_content_no_shuffle(spark):
+    """The HTML leg is pure array expressions (split → transform →
+    filter → array_join) — its plan must carry no Exchange: at 10^12
+    docs a block regroup here would shuffle every page's text."""
+    df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, html string")
+    plan = (
+        corpus.html_main_content(df, dom_hints=True, keep_empty=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
 def test_html_main_content_dom_hints(spark):
     """Arc90 class/id hints fix the density gate's two classic misses:
     a long link-sparse comment section is DROPPED, and a short paragraph
