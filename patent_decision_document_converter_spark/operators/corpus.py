@@ -251,7 +251,7 @@ def html_main_content(
         F.col(html_col), r"(?i)</(?:p|div|section|article|li|h[1-6])>|<br[^>]*>"
     )
 
-    def score_block(raw: Column) -> Column:
+    def measure_block(raw: Column) -> Column:
         # link text mass: everything inside <a ...>...</a>.  Same linear
         # construction as html_strip's block drop (the lazy
         # `<a...>(.*?)</a>` form backtracks quadratically on unclosed
@@ -266,42 +266,64 @@ def html_main_content(
                 i < n_lp - 1, F.regexp_extract(x, r"(?si).*<a[^>]*>(.*)$", 1)
             ).otherwise(F.lit("")),
         )
-        btext = html_strip(raw)
-        ltext = html_strip(F.concat_ws(" ", link_texts))
-        # keep: long enough, and link-text mass at most max_link_density
-        # (integer cross-multiplication — no float division)
-        keep = (F.length(btext) >= min_block_chars) & (
-            F.lit(1000) * F.length(ltext)
-            <= F.lit(max_link_density_permille) * F.length(btext)
-        )
+        fields = [
+            html_strip(raw).alias("btext"),
+            F.length(html_strip(F.concat_ws(" ", link_texts))).alias("llen"),
+        ]
         if dom_hints:
             # all class/id attribute values opened in this block (the
             # block split removes CLOSING tags, so opening tags stay)
-            hints = F.concat_ws(
-                " ",
+            fields.append(
                 F.concat_ws(
                     " ",
-                    F.regexp_extract_all(raw, F.lit(r'(?i)(?:class|id)\s*="([^"]*)"'), F.lit(1)),
-                ),
-                F.concat_ws(
-                    " ",
-                    F.regexp_extract_all(raw, F.lit(r"(?i)(?:class|id)\s*='([^']*)'"), F.lit(1)),
-                ),
+                    F.concat_ws(
+                        " ",
+                        F.regexp_extract_all(
+                            raw, F.lit(r'(?i)(?:class|id)\s*="([^"]*)"'), F.lit(1)
+                        ),
+                    ),
+                    F.concat_ws(
+                        " ",
+                        F.regexp_extract_all(
+                            raw, F.lit(r"(?i)(?:class|id)\s*='([^']*)'"), F.lit(1)
+                        ),
+                    ),
+                ).alias("hints")
             )
-            pos = hints.rlike(DOM_POS_RE)
-            neg = hints.rlike(DOM_NEG_RE) & ~pos
-            keep = ~neg & (
-                keep | (pos & (F.length(btext) >= max(1, min_block_chars // 2)))
-            )
-        return F.struct(btext.alias("btext"), keep.alias("keep"))
+        return F.struct(*fields)
 
-    kept = F.filter(F.transform(blocks_arr, score_block), lambda s: s["keep"])
-    main_text = F.array_join(F.transform(kept, lambda s: s["btext"]), "\n")
-    out = df.select(
+    def keep_pred(s: Column) -> Column:
+        # every term reads FIELDS of the already-measured struct (cheap
+        # extracts) — the expensive html_strip/regex subtrees ran once
+        # per block in measure_block (interpreted-HOF pitfall: a lambda
+        # body re-evaluates any duplicated subtree per element; see
+        # shingles_from_tokens)
+        blen = F.length(s["btext"])
+        # keep: long enough, and link-text mass at most max_link_density
+        # (integer cross-multiplication — no float division)
+        keep = (blen >= min_block_chars) & (
+            F.lit(1000) * s["llen"] <= F.lit(max_link_density_permille) * blen
+        )
+        if dom_hints:
+            pos = s["hints"].rlike(DOM_POS_RE)
+            neg = s["hints"].rlike(DOM_NEG_RE) & ~pos
+            keep = ~neg & (keep | (pos & (blen >= max(1, min_block_chars // 2))))
+        return keep
+
+    kept = F.filter(F.transform(blocks_arr, measure_block), keep_pred)
+    # two projections, not one: _kept feeds BOTH main_text and the count,
+    # and inlining it would re-run the whole measure/filter chain per use
+    # (CollapseProject keeps non-cheap multi-referenced aliases staged,
+    # but being explicit costs nothing and guards older planners)
+    scored = df.select(
+        F.col(id_col), *[F.col(c) for c in carry_cols], kept.alias("_kept")
+    )
+    main_text = F.array_join(F.transform("_kept", lambda s: s["btext"]), "\n")
+    out = scored.select(
         F.col(id_col),
         *[F.col(c) for c in carry_cols],
         (F.nullif(main_text, F.lit("")) if keep_empty else main_text).alias("main_text"),
-        F.size(kept).cast("long").alias("n_blocks_kept"),
+        F.size("_kept").cast("long").alias("n_blocks_kept"),
     )
     if keep_empty:
         return out
