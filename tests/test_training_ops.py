@@ -1141,6 +1141,54 @@ def test_enrich_media_spans_splices_and_passes_through(spark):
     assert d2 == [("text", "only", "", 0)]
 
 
+def test_enrich_media_spans_randomized_invariant(spark):
+    """Seeded-random corpus, exact equality against a Python reference:
+    output offsets are dense 0..n-1 in input-offset order, every matched
+    media span is followed immediately by its media_text span, unmatched
+    media / text spans and empty docs pass through — the north-rule
+    (kind, text, media_ref, order) invariant under 40 random docs."""
+    import random
+
+    from patent_decision_document_converter_spark.operators import pdf as pdfmod
+
+    rng = random.Random(20260817)
+    docs_rows, mt_rows, expected = [], [], {}
+    for d in range(40):
+        did = f"doc{d}"
+        n = rng.randint(0, 8)
+        kinds = [rng.choice(["text", "media"]) for _ in range(n)]
+        offsets = list(range(n))
+        rng.shuffle(offsets)
+        spans = []
+        for i, (k, off) in enumerate(zip(kinds, offsets)):
+            ref = f"m{i}" if k == "media" else ""
+            spans.append((k, f"t{d}_{i}" if k == "text" else "", ref, off))
+        docs_rows.append((did, spans))
+        matched = {}
+        for i, k in enumerate(kinds):
+            if k == "media" and rng.random() < 0.5:
+                matched[f"m{i}"] = f"X{d}_{i}"
+                mt_rows.append((did, f"m{i}", f"X{d}_{i}"))
+        if rng.random() < 0.2:  # decoys that match no media span
+            mt_rows.append((did, "m_nope", "junk"))
+        # python reference: order by offset, splice, renumber densely
+        out, j = [], 0
+        for k, t, ref, _off in sorted(spans, key=lambda x: x[3]):
+            out.append((k, t, ref, j)); j += 1
+            if k == "media" and ref in matched:
+                out.append(("media_text", matched[ref], ref, j)); j += 1
+        expected[did] = out
+
+    span_t = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    docs = spark.createDataFrame(docs_rows, f"doc_id string, spans {span_t}")
+    mt = spark.createDataFrame(mt_rows, "doc_id string, media_ref string, text string")
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in pdfmod.enrich_media_spans(docs, mt).collect()
+    }
+    assert got == expected
+
+
 def test_pdf_permissive_mode_survives_corrupt_payloads(spark):
     """A corrupt payload in strict mode kills the stage; in permissive
     mode the row carries NULL text + the parser error and good rows are
