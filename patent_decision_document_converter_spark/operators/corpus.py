@@ -186,6 +186,46 @@ def html_strip(col: Column) -> Column:
     return F.trim(F.regexp_replace(c, r"[ \t\n\x0b\f\r]+", " "))
 
 
+def xml_strip(col: Column) -> Column:
+    """XML markup → text (the patent-corpus sibling of :func:`html_strip`
+    — JPO/WIPO document bodies ship as XML): CDATA section TEXT is kept
+    VERBATIM (angle brackets and entity spellings inside CDATA are
+    content per the XML spec), markup regions get comments dropped, tags
+    stripped (processing instructions and DOCTYPE fall to the generic
+    ``<...>`` strip) and the five predefined entities decoded; whitespace
+    collapsed at the end.  Linear: split on ``]]>``; in each non-final
+    piece everything after the LAST ``<![CDATA[`` is CDATA content
+    (greedy-prefix match, one pass — same construction as html_strip's
+    link scan), the rest is markup.  A stray ``]]>`` with no opener
+    treats its piece as plain markup, matching a forgiving parser."""
+
+    def strip_markup(c: Column) -> Column:
+        c = _drop_to_end_after(c, "-->", "(?s)<!--.*")
+        c = F.regexp_replace(c, _HTML_TAGS, " ")
+        for ent, ch in (
+            ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")
+        ):
+            c = F.replace(c, F.lit(ent), F.lit(ch))
+        return c
+
+    parts = F.split(col, r"\]\]>")
+    n = F.size(parts)
+    pieces = F.transform(
+        parts,
+        lambda x, i: F.when(
+            (i < n - 1) & x.contains("<![CDATA["),
+            F.concat(
+                strip_markup(F.regexp_extract(x, r"(?s)^(.*)<!\[CDATA\[", 1)),
+                F.lit(" "),
+                F.regexp_extract(x, r"(?s)^.*<!\[CDATA\[(.*)$", 1),
+            ),
+        ).otherwise(strip_markup(x)),
+    )
+    return F.trim(
+        F.regexp_replace(F.concat_ws(" ", pieces), r"[ \t\n\x0b\f\r]+", " ")
+    )
+
+
 # Arc90-readability-style class/id hint lists (readability.js
 # REGEXPS.unlikelyCandidates / .positive — public heuristic, substring
 # match over the concatenated class+id attribute values).  Alternations

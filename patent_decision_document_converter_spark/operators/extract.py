@@ -10,6 +10,9 @@ format, payload:binary) and routes each row to the right extractor:
   / boilerplate leg; pure JVM array expressions, zero shuffle),
 * ``pdf``  → :func:`..operators.pdf.pdf_extract_text_df` (structural
   parse + layout-order reconstruction; Arrow-batched ``mapInPandas``),
+* ``xml``  → UTF-8 decode + :func:`..operators.corpus.xml_strip`
+  (CDATA unwrap, comment drop, tag strip, entity decode — the
+  JPO/WIPO patent-body format; pure JVM expressions, zero shuffle),
 * ``txt``  → UTF-8 decode, whitespace-normalized passthrough.
 
 Unknown formats yield NULL ``main_text`` with the format echoed so a
@@ -28,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .corpus import html_main_content
+from .corpus import html_main_content, xml_strip
 from .pdf import pdf_extract_text_df
 
 _OUT_COLS = ("doc_id", "media_ref", "format", "main_text", "error")
@@ -79,6 +82,14 @@ def extract_main_content(
         (F.col("error") if permissive_pdf else F.lit(None).cast("string")).alias("error"),
     )
 
+    xml = base.filter(F.col("format") == "xml").select(
+        "doc_id",
+        "media_ref",
+        "format",
+        xml_strip(F.decode("payload", "UTF-8")).alias("main_text"),
+        F.lit(None).cast("string").alias("error"),
+    )
+
     txt = base.filter(F.col("format") == "txt").select(
         "doc_id",
         "media_ref",
@@ -89,7 +100,7 @@ def extract_main_content(
         F.lit(None).cast("string").alias("error"),
     )
 
-    other = base.filter(~F.col("format").isin("html", "pdf", "txt")).select(
+    other = base.filter(~F.col("format").isin("html", "pdf", "xml", "txt")).select(
         "doc_id",
         "media_ref",
         "format",
@@ -100,6 +111,7 @@ def extract_main_content(
     return (
         html_full.select(*_OUT_COLS)
         .unionByName(pdf_out.select(*_OUT_COLS))
+        .unionByName(xml.select(*_OUT_COLS))
         .unionByName(txt.select(*_OUT_COLS))
         .unionByName(other.select(*_OUT_COLS))
     )

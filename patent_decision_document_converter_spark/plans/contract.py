@@ -2073,10 +2073,11 @@ _MEDIA_ENRICH_SQL = _media_enrich_sql()
 def extract_main_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The unified main-content extraction dispatcher over a MIXED
     corpus: every third doc is a genuine PDF (layout-parse leg), every
-    third an HTML page with a link-dense nav block (DOM-heuristic leg),
-    every third messy plain text (normalize leg).  All payloads are
-    md5-derived so DuckDB replays each leg's expected main text without
-    running any extractor."""
+    third an HTML page with a link-dense nav block (DOM-heuristic leg)
+    PLUS an XML body (CDATA/comment/prolog — the xml_strip leg) as a
+    second media item, every third messy plain text (normalize leg).
+    All payloads are md5-derived so DuckDB replays each leg's expected
+    main text without running any extractor."""
     from ..operators import extract as exmod
     from ..operators import pdf as pdfmod
 
@@ -2107,7 +2108,22 @@ def extract_main_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("txt").alias("format"),
         F.encode(txt_str, "UTF-8").alias("payload"),
     )
-    mixed = pdfs.unionByName(htmls).unionByName(txts)
+    # xml leg rides the html third as a SECOND media item per doc —
+    # CDATA body + comment noise + prolog, all md5-replayable
+    x1 = F.md5(F.concat(F.lit("x1:"), did))
+    x2 = F.md5(F.concat(F.lit("x2:"), did))
+    xml_str = F.concat(
+        F.lit('<?xml version="1.0"?><doc><title>'), x1,
+        F.lit("</title><!-- noise --><body><![CDATA["), x2,
+        F.lit("]]></body></doc>"),
+    )
+    xmls = docs.filter(F.col("doc_id") % 3 == 1).select(
+        did.alias("doc_id"),
+        F.concat(F.lit("xml:"), did).alias("media_ref"),
+        F.lit("xml").alias("format"),
+        F.encode(xml_str, "UTF-8").alias("payload"),
+    )
+    mixed = pdfs.unionByName(htmls).unionByName(xmls).unionByName(txts)
     out = exmod.extract_main_content(mixed)
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -2133,6 +2149,10 @@ FROM pdf_text
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'html:' || doc_id, 'html',
        md5(md5('m1:' || doc_id) || ' ' || md5('m2:' || doc_id)), 65
+FROM documents WHERE doc_id % 3 = 1
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 'xml:' || doc_id, 'xml',
+       md5(md5('x1:' || doc_id) || ' ' || md5('x2:' || doc_id)), 65
 FROM documents WHERE doc_id % 3 = 1
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'txt:' || doc_id, 'txt',

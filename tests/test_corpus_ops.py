@@ -102,6 +102,24 @@ def test_html_main_content_keeps_article_drops_boilerplate(spark):
         assert boiler not in r["main_text"]
 
 
+def test_xml_strip_cdata_and_edges(spark):
+    """CDATA text verbatim (brackets AND entity spellings are content),
+    markup entities decoded, multiple CDATA sections, stray ]]> without
+    an opener degrades to plain markup handling, comments dropped."""
+    cases = [
+        ("<a>x &amp; y</a>", "x & y"),
+        ("<d><![CDATA[a <b> &amp; c]]></d>", "a <b> &amp; c"),
+        ("<d><![CDATA[one]]><m>mid</m><![CDATA[two]]>tail</d>", "one mid two tail"),
+        ("no opener ]]> <t>after</t>", "no opener after"),
+        ("<d><!-- gone --><t>kept</t></d>", "kept"),
+        ('<?xml version="1.0"?><!DOCTYPE d><d>body</d>', "body"),
+    ]
+    df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(cases)], "i long, x string")
+    got = {r["i"]: r["o"] for r in df.select("i", corpus.xml_strip(F.col("x")).alias("o")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
 def test_html_main_content_no_shuffle(spark):
     """The HTML leg is pure array expressions (split → transform →
     filter → array_join) — its plan must carry no Exchange: at 10^12

@@ -1210,7 +1210,8 @@ def test_pdf_permissive_mode_survives_corrupt_payloads(spark):
 def test_extract_main_content_dispatch_legs(spark):
     """Format routing: html → boilerplate-stripped main text (nav
     dropped, all-boilerplate doc kept as NULL), pdf → layout text,
-    txt → whitespace normalize, unknown → NULL with format echoed."""
+    xml → CDATA-aware tag strip, txt → whitespace normalize,
+    unknown → NULL with format echoed."""
     from patent_decision_document_converter_spark.operators import extract as exmod
     from patent_decision_document_converter_spark.operators import pdf as pdfmod
 
@@ -1223,20 +1224,26 @@ def test_extract_main_content_dispatch_legs(spark):
          b'<div><a href="#">only boilerplate nav</a></div>'),
         ("p1", "pdf:p1", "pdf", good_pdf),
         ("t1", "txt:t1", "txt", b"  a\n\n b\t"),
+        ("x1", "xml:x1", "xml",
+         b'<?xml version="1.0"?><doc><!-- c --><t a="1">T1 &amp; T2</t>'
+         b"<body><![CDATA[cdata <kept> text]]></body></doc>"),
         ("u1", "bin:u1", "mp4", b"\x00\x01"),
     ]
     media = spark.createDataFrame(
         rows, "doc_id string, media_ref string, format string, payload binary"
     )
     out = {r["doc_id"]: r for r in exmod.extract_main_content(media).collect()}
-    assert len(out) == 5
+    assert len(out) == 6
     assert out["h1"]["main_text"] == long_p
     assert out["h2"]["main_text"] is None and out["h2"]["format"] == "html"
     assert out["p1"]["main_text"] == "pdf body"
     assert out["t1"]["main_text"] == "a b"
     assert out["u1"]["main_text"] is None and out["u1"]["format"] == "mp4"
     assert out["u1"]["error"] == "unsupported format"
-    assert all(out[k]["error"] is None for k in ("h1", "h2", "p1", "t1"))
+    # xml: prolog/comment/tags stripped, entity decoded, CDATA text
+    # KEPT verbatim (angle brackets inside CDATA are content, not tags)
+    assert out["x1"]["main_text"] == "T1 & T2 cdata <kept> text"
+    assert all(out[k]["error"] is None for k in ("h1", "h2", "p1", "t1", "x1"))
 
     # permissive PDF leg surfaces the parser message in `error`
     rows_bad = rows + [("p2", "pdf:p2", "pdf", b"%PDF-corrupt")]
