@@ -77,6 +77,20 @@ def start_convert_sink(
     return w.start()
 
 
+def extract_stream(media: DataFrame, permissive_pdf: bool = True) -> DataFrame:
+    """Format-routed main-content extraction on a streaming media frame
+    — the extraction tier's streaming twin.  Every leg of
+    :func:`..operators.extract.extract_main_content` is stateless pure
+    projection/mapInPandas since the r4 zero-shuffle HTML rewrite, so
+    the SAME operator runs on a stream unchanged: new media files
+    arriving in a watched directory are extracted incrementally with
+    exactly-once parquet sink semantics (checkpointed offsets).  Batch
+    parity is pinned by tests/test_streaming.py."""
+    from ..operators.extract import extract_main_content
+
+    return extract_main_content(media, permissive_pdf=permissive_pdf)
+
+
 def events_hourly_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window count/sum per event type (append-mode
     finalizing windows; late data beyond the watermark dropped)."""

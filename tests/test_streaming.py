@@ -53,6 +53,50 @@ def test_convert_stream_matches_batch(spark, tmp_path_factory):
     assert spark.read.parquet(outp).count() == len(rows)
 
 
+def test_extract_stream_matches_batch(spark, tmp_path_factory):
+    """The extraction dispatcher is stateless end-to-end (zero-shuffle
+    legs), so it streams unchanged: incremental extraction of a watched
+    media directory equals the batch extractor row-for-row, and a
+    checkpointed restart with no new files adds nothing."""
+    from patent_decision_document_converter_spark.operators import pdf as pdfmod
+    from patent_decision_document_converter_spark.operators.extract import (
+        extract_main_content,
+    )
+
+    base = str(tmp_path_factory.mktemp("xstream"))
+    inp, outp, ckpt = (os.path.join(base, d) for d in ("in", "out", "ckpt"))
+
+    good_pdf = pdfmod._encode_pdf([(72.0, 700.0, "pdf body")], compress=True)
+    rows = [
+        ("h1", "html:h1", "html",
+         b'<div><a href="#">navnav</a></div><p>' + b"y" * 60 + b"</p>"),
+        ("x1", "xml:x1", "xml", b"<d><![CDATA[raw <c>]]><t>tag</t></d>"),
+        ("p1", "pdf:p1", "pdf", bytearray(good_pdf)),
+        ("t1", "txt:t1", "txt", b" a\n b "),
+        ("u1", "bin:u1", "mp4", b"\x00"),
+    ]
+    schema = "doc_id string, media_ref string, format string, payload binary"
+    media = spark.createDataFrame(rows, schema)
+    media.repartition(2).write.parquet(inp)
+
+    stream = spark.readStream.schema(media.schema).option("maxFilesPerTrigger", 1).parquet(inp)
+    q = stream_job.start_convert_sink(stream_job.extract_stream(stream), outp, ckpt)
+    q.awaitTermination()
+
+    got = {r["media_ref"]: r.asDict() for r in spark.read.parquet(outp).collect()}
+    want = {r["media_ref"]: r.asDict() for r in extract_main_content(
+        media, permissive_pdf=True).collect()}
+    assert got == want
+
+    q2 = stream_job.start_convert_sink(
+        stream_job.extract_stream(
+            spark.readStream.schema(media.schema).parquet(inp)
+        ), outp, ckpt,
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(outp).count() == len(rows)
+
+
 @pytest.fixture(scope="module")
 def events_dir(spark, tmp_path_factory):
     """Streaming file sources need a directory — stage the events file."""
