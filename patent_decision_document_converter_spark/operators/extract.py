@@ -100,7 +100,12 @@ def extract_main_content(
         F.lit(None).cast("string").alias("error"),
     )
 
-    other = base.filter(~F.col("format").isin("html", "pdf", "xml", "txt")).select(
+    # NULL formats must land here too: NULL fails every leg's equality
+    # filter AND the negated isin (NULL -> false), which would silently
+    # drop the row — violating the one-row-in/one-row-out contract
+    other = base.filter(
+        F.col("format").isNull() | ~F.col("format").isin("html", "pdf", "xml", "txt")
+    ).select(
         "doc_id",
         "media_ref",
         "format",

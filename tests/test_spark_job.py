@@ -224,3 +224,30 @@ def test_run_job_resumable(spark, docs_rows, tmp_path_factory):
     # final output complete and correct row count
     total = spark.read.parquet(os.path.join(outp, "data")).count()
     assert total == len(docs_rows)
+
+
+def test_convert_documents_parallelism_floor(spark, docs_rows):
+    """A small single-split input (one parquet file on the driver's
+    testdata = one scan partition) must NOT run the whole Python
+    conversion stage as one task on one core: with n_partitions unset,
+    convert_documents hash-repartitions up to defaultParallelism when
+    the input plan has fewer than half that many partitions — and stays
+    a no-op when splits already suffice (the 100 TB case)."""
+    df = create_documents_df(spark, docs_rows)
+    target = spark.sparkContext.defaultParallelism
+
+    floored = convert_documents(df.coalesce(1), "pct")
+    assert floored.rdd.getNumPartitions() == target
+
+    # enough input splits -> no repartition is inserted
+    wide = df.repartition(target, "doc_id")
+    out = convert_documents(wide, "pct")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # only the caller's own repartition
+
+    # the floor changes plan shape only, never results
+    a = sorted(floored.collect(), key=lambda r: r["doc_id"])
+    b = sorted(out.collect(), key=lambda r: r["doc_id"])
+    assert [r.asDict(recursive=True) for r in a] == [
+        r.asDict(recursive=True) for r in b
+    ]

@@ -1228,12 +1228,18 @@ def test_extract_main_content_dispatch_legs(spark):
          b'<?xml version="1.0"?><doc><!-- c --><t a="1">T1 &amp; T2</t>'
          b"<body><![CDATA[cdata <kept> text]]></body></doc>"),
         ("u1", "bin:u1", "mp4", b"\x00\x01"),
+        # NULL format must NOT be silently dropped (NULL fails every
+        # equality filter AND the negated isin) — it degrades loudly
+        # through the `other` leg like any unknown format
+        ("n1", "bin:n1", None, b"\x00"),
     ]
     media = spark.createDataFrame(
         rows, "doc_id string, media_ref string, format string, payload binary"
     )
     out = {r["doc_id"]: r for r in exmod.extract_main_content(media).collect()}
-    assert len(out) == 6
+    assert len(out) == 7
+    assert out["n1"]["main_text"] is None and out["n1"]["format"] is None
+    assert out["n1"]["error"] == "unsupported format"
     assert out["h1"]["main_text"] == long_p
     assert out["h2"]["main_text"] is None and out["h2"]["format"] == "html"
     assert out["p1"]["main_text"] == "pdf body"
