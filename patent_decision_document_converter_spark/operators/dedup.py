@@ -759,6 +759,7 @@ def cross_ngram_overlap(
     train_id: str = "doc_id",
     eval_id: str = "doc_id",
     text_col: str = "text",
+    max_eval_df: int | None = None,
 ) -> DataFrame:
     """Training↔eval contamination scan: (train_doc, eval_doc, n_common)
     for every pair sharing ≥ ``min_common`` distinct word-``shingle_k``-
@@ -771,6 +772,17 @@ def cross_ngram_overlap(
     a map-side join over the corpus + one small aggregation.  Raise
     ``shingle_k`` (8-13 is typical for decontamination) to sharpen
     precision on real corpora.
+
+    ``max_eval_df`` caps the eval-side DOCUMENT FREQUENCY of a shingle:
+    shingles present in more than that many eval documents are dropped
+    before the join.  Such shingles are shared boilerplate (prompt
+    frames, license headers, instruction phrases), not leakage signal —
+    standard decontamination practice — and they are exactly the
+    quadratic hot keys of the join: one boilerplate shingle produces
+    |train occurrences| x |eval docs sharing it| rows before the
+    aggregation, which at web scale turns a linear scan into a blowup.
+    The cap is computed on the tiny eval side (one window over the
+    broadcast-bound table), so the corpus side still never shuffles.
     """
     def side(df: DataFrame, id_col: str, alias: str) -> DataFrame:
         toked = df.select(F.col(id_col).alias(alias), tokens(text_col).alias("_toks"))
@@ -783,6 +795,15 @@ def cross_ngram_overlap(
 
     t = side(train, train_id, "train_id")
     e = side(evalset, eval_id, "eval_id")
+    if max_eval_df is not None:
+        # shingles are DISTINCT per doc (shingles_from_tokens), so the
+        # per-hash row count IS the eval document frequency
+        w = Window.partitionBy("sh_hash")
+        e = (
+            e.withColumn("_eval_df", F.count("*").over(w))
+            .filter(F.col("_eval_df") <= max_eval_df)
+            .drop("_eval_df")
+        )
     return (
         t.join(F.broadcast(e), "sh_hash")
         .groupBy("train_id", "eval_id")
@@ -801,6 +822,7 @@ def decontaminate_chunks(
     train_id: str = "doc_id",
     eval_id: str = "doc_id",
     text_col: str = "text",
+    max_eval_df: int | None = None,
 ) -> DataFrame:
     """Training-WINDOW-granularity decontamination:
     :func:`~..operators.corpus.chunk_documents` → per-chunk shingle scan.
@@ -822,6 +844,14 @@ def decontaminate_chunks(
     Overlapping windows can flag the same leaked span in two adjacent
     chunks — dedup at the (train_id, eval_id) level downstream if you
     only need the doc verdict.
+
+    ``max_eval_df`` drops shingles present in more than that many eval
+    DOCUMENTS before the join — same boilerplate/hot-key cap as
+    :func:`cross_ngram_overlap` (the chunk-side fanout multiplies by
+    every eval doc sharing the shingle, so a universal prompt frame is
+    both noise and the join's worst key).  The chunk's own
+    ``n_chunk_shingles`` denominator is NOT capped — only which shingles
+    may count as common.
 
     Output: (train_id, chunk_id, eval_id, n_common, n_chunk_shingles,
     permille).
@@ -856,6 +886,13 @@ def decontaminate_chunks(
         .select("eval_id", F.explode("_sh").alias("shingle"))
         .select("eval_id", md5_long(F.col("shingle")).alias("sh_hash"))
     )
+    if max_eval_df is not None:
+        w = Window.partitionBy("sh_hash")
+        esh = (
+            esh.withColumn("_eval_df", F.count("*").over(w))
+            .filter(F.col("_eval_df") <= max_eval_df)
+            .drop("_eval_df")
+        )
     hits = (
         csh.join(F.broadcast(esh), "sh_hash")
         .groupBy("train_id", "chunk_id", "n_chunk_shingles", "eval_id")

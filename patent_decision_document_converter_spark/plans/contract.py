@@ -815,11 +815,17 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination: every 50th document plays the held-out
     eval set; report train docs sharing >= 2 distinct 3-gram shingles
     with any eval doc (eval shingle table broadcasts; the corpus side
-    never shuffles before the pair aggregation)."""
+    never shuffles before the pair aggregation).  max_eval_df=5 drops
+    boilerplate shingles present in more than 5 eval docs before the
+    join — the standard DF cap, and the defusal of the join's quadratic
+    hot keys (this corpus's ~100-word vocabulary makes shingle
+    collisions near-universal, the honest worst case)."""
     docs = _t(spark, sf_dir, "documents")
     evalset = docs.filter(F.col("doc_id") % 50 == 0)
     train = docs.filter(F.col("doc_id") % 50 != 0)
-    out = dedup.cross_ngram_overlap(train, evalset, shingle_k=3, min_common=2)
+    out = dedup.cross_ngram_overlap(
+        train, evalset, shingle_k=3, min_common=2, max_eval_df=5
+    )
     return out.select(
         F.col("train_id").cast("long").alias("train_id"),
         F.col("eval_id").cast("long").alias("eval_id"),
@@ -833,11 +839,17 @@ tok AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(1, len(toks) + 1)) AS p
 sh0 AS (SELECT doc_id,
                tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
         FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL)
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+evs AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 = 0),
+-- eval-side document-frequency cap (max_eval_df=5): boilerplate
+-- shingles shared by >5 eval docs are dropped before the join
+ekeep AS (SELECT shingle FROM evs GROUP BY shingle HAVING COUNT(*) <= 5)
 SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
        COUNT(*) AS n_common
-FROM sh tr JOIN sh ev ON tr.shingle = ev.shingle
-WHERE tr.doc_id % 50 <> 0 AND ev.doc_id % 50 = 0
+FROM sh tr
+JOIN evs ev ON tr.shingle = ev.shingle
+JOIN ekeep k ON k.shingle = ev.shingle
+WHERE tr.doc_id % 50 <> 0
 GROUP BY tr.doc_id, ev.doc_id
 HAVING COUNT(*) >= 2
 """
@@ -850,12 +862,15 @@ def dedup_decontaminate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer buried inside a long document that the doc-level overlap
     RATIO dilutes below threshold (the model trains on windows, so the
     window is the unit that leaks).  Eval side broadcasts; chunking is
-    per-row fan-out with no shuffle."""
+    per-row fan-out with no shuffle; max_eval_df=5 drops boilerplate
+    shingles shared by >5 eval docs (same hot-key defusal as
+    dedup_decontaminate)."""
     docs = _t(spark, sf_dir, "documents")
     evalset = docs.filter(F.col("doc_id") % 50 == 0)
     train = docs.filter(F.col("doc_id") % 50 != 0)
     out = dedup.decontaminate_chunks(
-        train, evalset, chunk_tokens=32, overlap=8, shingle_k=3, min_permille=500
+        train, evalset, chunk_tokens=32, overlap=8, shingle_k=3, min_permille=500,
+        max_eval_df=5,
     )
     return out.select(
         F.col("train_id").cast("long").alias("train_id"),
@@ -897,7 +912,9 @@ etok AS (SELECT doc_id, unnest(toks) AS tok,
 esh0 AS (SELECT doc_id,
                 tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
          FROM etok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-esh AS (SELECT DISTINCT doc_id, shingle FROM esh0 WHERE shingle IS NOT NULL)
+esh AS (SELECT DISTINCT doc_id, shingle FROM esh0 WHERE shingle IS NOT NULL),
+-- eval-side document-frequency cap (max_eval_df=5), as in _DECONTAM_SQL
+ekeep AS (SELECT shingle FROM esh GROUP BY shingle HAVING COUNT(*) <= 5)
 SELECT c.doc_id AS train_id,
        c.chunk_id,
        e.doc_id AS eval_id,
@@ -906,6 +923,7 @@ SELECT c.doc_id AS train_id,
        CAST((1000 * COUNT(*)) // MIN(n.n_chunk_shingles) AS BIGINT) AS permille
 FROM csh c
 JOIN esh e ON c.shingle = e.shingle
+JOIN ekeep k ON k.shingle = e.shingle
 JOIN cnt n ON n.doc_id = c.doc_id AND n.chunk_id = c.chunk_id
 GROUP BY c.doc_id, c.chunk_id, e.doc_id
 HAVING 1000 * COUNT(*) >= 500 * MIN(n.n_chunk_shingles)

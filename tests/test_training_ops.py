@@ -776,6 +776,55 @@ def test_cross_ngram_overlap_decontamination(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_cross_ngram_overlap_eval_df_cap(spark):
+    """max_eval_df drops boilerplate shingles shared by many eval docs
+    BEFORE the join: a license header present in every eval doc (and
+    every train doc) would otherwise fan out |train| x |eval| rows —
+    with the cap, only genuine leakage survives."""
+    boiler = "licensed under the apache license version two"
+    train = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta answer"),
+            (2, boiler + " epsilon zeta eta theta"),
+            (3, boiler + " iota kappa lam mu"),
+        ],
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame(
+        [
+            (100, boiler + " alpha beta gamma delta answer"),  # real leak into 1
+            (101, boiler + " unrelated eval question one"),
+            (102, boiler + " another eval question two"),
+        ],
+        "doc_id long, text string",
+    )
+    uncapped = {
+        (r["train_id"], r["eval_id"]): r["n_common"]
+        for r in dedup.cross_ngram_overlap(train, evalset, shingle_k=3).collect()
+    }
+    # boilerplate makes EVERY train doc collide with EVERY eval doc
+    assert len(uncapped) == 9
+    capped = {
+        (r["train_id"], r["eval_id"]): r["n_common"]
+        for r in dedup.cross_ngram_overlap(
+            train, evalset, shingle_k=3, max_eval_df=2
+        ).collect()
+    }
+    # the boilerplate shingles have eval-DF 3 > 2 and vanish; only the
+    # genuinely leaked 'alpha beta gamma delta answer' span remains —
+    # its trigrams start at 'version two alpha' (the first trigram not
+    # shared by all three eval docs)
+    assert set(capped) == {(1, 100)}
+    leaked = "version two alpha beta gamma delta answer".split()
+    assert capped[(1, 100)] == len(leaked) - 2
+    # chunk-level twin honours the same cap
+    chunk_hits = dedup.decontaminate_chunks(
+        train, evalset, chunk_tokens=8, overlap=0, shingle_k=3,
+        min_permille=300, max_eval_df=2,
+    ).collect()
+    assert {(r["train_id"], r["eval_id"]) for r in chunk_hits} == {(1, 100)}
+
+
 def test_repetition_signals_gopher_style(spark):
     df = spark.createDataFrame(
         [
