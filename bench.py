@@ -105,7 +105,7 @@ BENCH_SEED = 42
 
 
 def get_spark(cpus: int) -> SparkSession:
-    return (
+    spark = (
         SparkSession.builder.appName("bench")
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(cpus))
@@ -116,6 +116,12 @@ def get_spark(cpus: int) -> SparkSession:
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+    from patent_decision_document_converter_spark.plans.session import (
+        silence_windowexec_warning,
+    )
+
+    silence_windowexec_warning(spark)
+    return spark
 
 
 def bench_conversion(spark: SparkSession, cpus: int, n_docs: int = N_BENCH_DOCS) -> dict:

@@ -453,6 +453,11 @@ def token_batches(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = ranged.withColumn("_local_cum", F.sum("n_tokens").over(w_local))
+    # Audited global window: its input is the num_ranges-row aggregate
+    # (a few hundred rows at most), so one partition is the design.  A
+    # literal partition key cannot silence the WindowExec warning on
+    # Spark 4 (EliminateWindowPartitions folds it); the harness sessions
+    # suppress that logger instead (plans.session).
     w_offsets = (
         Window.orderBy("_range_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)

@@ -75,6 +75,12 @@ def cosine_topk(
     # row_number over the already-limited k rows — driver-side tiny window
     from pyspark.sql import Window
 
+    # Audited global window: the frame is the already-limited k rows, so a
+    # single partition IS the design.  Spark 4's EliminateWindowPartitions
+    # folds any literal/foldable partition key right back out, so the
+    # WindowExec "No Partition Defined" warning cannot be silenced at the
+    # plan level; the harness sessions suppress that one logger instead
+    # (plans.session.silence_windowexec_warning).
     w = Window.orderBy(F.desc("sim"), F.asc(id_col))
     return ranked.select(
         F.row_number().over(w).alias("rank"), F.col(id_col)
@@ -136,6 +142,12 @@ def ivf_topk(
     from pyspark.sql import Window
 
     ranked = scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+    # Audited global window: the frame is the already-limited k rows, so a
+    # single partition IS the design.  Spark 4's EliminateWindowPartitions
+    # folds any literal/foldable partition key right back out, so the
+    # WindowExec "No Partition Defined" warning cannot be silenced at the
+    # plan level; the harness sessions suppress that one logger instead
+    # (plans.session.silence_windowexec_warning).
     w = Window.orderBy(F.desc("sim"), F.asc(id_col))
     return ranked.select(F.row_number().over(w).alias("rank"), F.col(id_col))
 
@@ -207,6 +219,12 @@ def ann_topk_lsh(
     from pyspark.sql import Window
 
     ranked = scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+    # Audited global window: the frame is the already-limited k rows, so a
+    # single partition IS the design.  Spark 4's EliminateWindowPartitions
+    # folds any literal/foldable partition key right back out, so the
+    # WindowExec "No Partition Defined" warning cannot be silenced at the
+    # plan level; the harness sessions suppress that one logger instead
+    # (plans.session.silence_windowexec_warning).
     w = Window.orderBy(F.desc("sim"), F.asc(id_col))
     return ranked.select(F.row_number().over(w).alias("rank"), F.col(id_col))
 
@@ -246,6 +264,12 @@ def ann_topk_lsh_multiprobe(
     from pyspark.sql import Window
 
     ranked = scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+    # Audited global window: the frame is the already-limited k rows, so a
+    # single partition IS the design.  Spark 4's EliminateWindowPartitions
+    # folds any literal/foldable partition key right back out, so the
+    # WindowExec "No Partition Defined" warning cannot be silenced at the
+    # plan level; the harness sessions suppress that one logger instead
+    # (plans.session.silence_windowexec_warning).
     w = Window.orderBy(F.desc("sim"), F.asc(id_col))
     return ranked.select(F.row_number().over(w).alias("rank"), F.col(id_col))
 
@@ -434,7 +458,17 @@ def kmeans_fit_assign(
 
     for _ in range(iters):
         assigned = assign(q_train)
-        # element-wise integer mean per cell: posexplode -> (cell, pos) sum/count
+        # element-wise integer mean per cell: posexplode -> (cell, pos)
+        # sum/count.  Scale note: the shuffle is BOUNDED by the map-side
+        # partial aggregation — each input partition emits at most
+        # k x dim partially-summed cells, never the n x dim exploded
+        # rows — so this shape survives 10^9 vectors.  The r5 A/B
+        # against a single wide groupBy(cell).agg(sum(qv[0])..sum(qv[d]))
+        # measured the wide form ~1.5x SLOWER at bench scale (a fresh
+        # 64-column codegen compile per iteration, since the assign
+        # expression inlines the new centroids as literals each round)
+        # for no shuffle-volume win; posexplode's simple stable plan is
+        # the keeper (2.6 s vs 4.0 s sf0.01 min-of-3, same session).
         per_dim = (
             assigned.select("cell", F.posexplode("qv").alias("pos", "x"))
             .groupBy("cell", "pos")
@@ -500,5 +534,11 @@ def ann_topk_ivf_kmeans(
     from pyspark.sql import Window
 
     ranked = scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+    # Audited global window: the frame is the already-limited k rows, so a
+    # single partition IS the design.  Spark 4's EliminateWindowPartitions
+    # folds any literal/foldable partition key right back out, so the
+    # WindowExec "No Partition Defined" warning cannot be silenced at the
+    # plan level; the harness sessions suppress that one logger instead
+    # (plans.session.silence_windowexec_warning).
     w = Window.orderBy(F.desc("sim"), F.asc(id_col))
     return ranked.select(F.row_number().over(w).alias("rank"), F.col(id_col))

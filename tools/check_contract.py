@@ -90,6 +90,11 @@ def main() -> int:
         .appName("contract-check")
         .getOrCreate()
     )
+    from patent_decision_document_converter_spark.plans.session import (
+        silence_windowexec_warning,
+    )
+
+    silence_windowexec_warning(spark)
 
     con = duckdb.connect()
     for t in TABLES:
