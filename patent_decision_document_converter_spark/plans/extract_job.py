@@ -42,14 +42,31 @@ from pyspark.sql import functions as F
 
 from ..operators.extract import extract_main_content
 from ..operators.pdf import enrich_media_spans
-from .job import completed_buckets, convert_documents, get_spark, _manifest_path
+from .job import (
+    completed_buckets,
+    convert_documents,
+    distinct_buckets_validated,
+    get_spark,
+    _manifest_path,
+)
 
 
-def _with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+def _with_bucket(df: DataFrame, n_buckets: int) -> tuple[DataFrame, bool]:
+    """Attach the doc_id-hash bucket column; returns (df, had_bucket).
+
+    A pre-existing column is kept (it prunes resumed input), but the
+    caller must validate it against this job's ``n_buckets`` via
+    :func:`.job.distinct_buckets_validated` — output buckets/manifests
+    are always recomputed, and a layout written with a different count
+    would silently skip or re-run the wrong docs on resume.
+    """
     if "bucket" in df.columns:
-        return df
-    return df.withColumn(
-        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+        return df, True
+    return (
+        df.withColumn(
+            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+        ),
+        False,
     )
 
 
@@ -97,8 +114,8 @@ def run_extract_job(
     cost per byte is high, an explicit doc_id-hash repartition (salted
     under skew) can be the better layout; measure per corpus (the A/B on
     the uniform sandbox corpus is neutral, see BASELINE.md)."""
-    docs = _with_bucket(spark.read.parquet(docs_path), n_buckets)
-    media = _with_bucket(spark.read.parquet(media_path), n_buckets)
+    docs, docs_had_bucket = _with_bucket(spark.read.parquet(docs_path), n_buckets)
+    media, media_had_bucket = _with_bucket(spark.read.parquet(media_path), n_buckets)
 
     done = completed_buckets(output_path) if resume else set()
     if done:
@@ -106,7 +123,9 @@ def run_extract_job(
         docs = docs.filter(~F.col("bucket").isin(done_list))
         media = media.filter(~F.col("bucket").isin(done_list))
 
-    buckets = [r["bucket"] for r in docs.select("bucket").distinct().collect()]
+    buckets = distinct_buckets_validated(docs, n_buckets, validate=docs_had_bucket)
+    if media_had_bucket:
+        distinct_buckets_validated(media, n_buckets, validate=True, what="media")
     metrics = {"mode": mode, "buckets_done": len(done), "buckets_run": len(buckets)}
     if not buckets:
         return metrics

@@ -446,6 +446,41 @@ def completed_buckets(output_path: str) -> set[int]:
     return done
 
 
+def distinct_buckets_validated(
+    df: DataFrame, n_buckets: int, validate: bool, what: str = "input"
+) -> list[int]:
+    """Collect the distinct bucket ids; with ``validate``, fail fast when a
+    pre-existing ``bucket`` column disagrees with this job's ``n_buckets``.
+
+    The jobs always RECOMPUTE output buckets / manifests as
+    ``pmod(xxhash64(doc_id), n_buckets)`` but prune resumed input on the
+    layout's pre-existing bucket column — a layout written with a
+    different ``n_buckets`` would silently skip or re-run the wrong docs
+    on resume.  The check rides the same column-pruned scan that already
+    collects the distinct ids (map-side partial agg to ≤ n_buckets rows;
+    at 100 TB it adds only the doc_id column to the scan), so a loud
+    mismatch costs no extra pass.
+    """
+    if not validate:
+        return [r["bucket"] for r in df.select("bucket").distinct().collect()]
+    expect = F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+    rows = (
+        df.groupBy("bucket")
+        .agg(F.max((F.col("bucket") != expect).cast("int")).alias("_bad"))
+        .collect()
+    )
+    bad = sorted(r["bucket"] for r in rows if r["_bad"])
+    if bad:
+        raise ValueError(
+            f"{what} layout's pre-existing bucket column disagrees with "
+            f"n_buckets={n_buckets} for bucket ids {bad[:8]}"
+            f"{'...' if len(bad) > 8 else ''}: the layout was written with "
+            "a different bucket count. Re-run with the layout's n_buckets, "
+            "or drop the bucket column to recompute."
+        )
+    return [r["bucket"] for r in rows]
+
+
 def run_job(
     spark: SparkSession,
     input_path: str,
@@ -471,7 +506,7 @@ def run_job(
     if done:
         df = df.filter(~F.col("bucket").isin(sorted(done)))
 
-    buckets = [r["bucket"] for r in df.select("bucket").distinct().collect()]
+    buckets = distinct_buckets_validated(df, n_buckets, validate=has_bucket)
     metrics = {"mode": mode, "buckets_done": len(done), "buckets_run": len(buckets)}
 
     if not buckets:

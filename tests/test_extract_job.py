@@ -107,6 +107,29 @@ def test_extract_and_enrich_splices_all_legs(spark, paths):
         assert [s["offset"] for s in r["spans"]] == list(range(len(r["spans"])))
 
 
+def test_mismatched_bucket_layout_fails_fast(spark, paths, tmp_path):
+    """A layout written with a different n_buckets than the job parameter
+    must raise, not silently skip/re-run the wrong docs on resume
+    (ADVICE r4: resume prunes on the layout's bucket ids while manifests
+    use recomputed ids)."""
+    docs_path, media_path = paths
+    with pytest.raises(ValueError, match="bucket"):
+        run_extract_job(
+            spark, docs_path, media_path, str(tmp_path / "out_mismatch"),
+            n_buckets=8,
+        )
+    # matching count (the fixture's 4) keeps working — exercised by the
+    # end-to-end test below; bucketless inputs skip validation entirely
+    from patent_decision_document_converter_spark.plans.job import (
+        distinct_buckets_validated,
+    )
+
+    docs = spark.read.parquet(docs_path)
+    assert sorted(distinct_buckets_validated(docs, 4, validate=True)) == sorted(
+        r["bucket"] for r in docs.select("bucket").distinct().collect()
+    )
+
+
 def test_run_extract_job_end_to_end_and_resume(spark, paths, tmp_path):
     docs_path, media_path = paths
     out_path = str(tmp_path / "out")
