@@ -91,6 +91,50 @@ def extract_stream(media: DataFrame, permissive_pdf: bool = True) -> DataFrame:
     return extract_main_content(media, permissive_pdf=permissive_pdf)
 
 
+def extract_convert_stream(
+    docs: DataFrame,
+    media: DataFrame,
+    mode: str = "officeAction",
+    permissive_pdf: bool = True,
+    pre_extracted: bool = False,
+) -> DataFrame:
+    """Streaming twin of the FULL extraction job (:mod:`..plans.
+    extract_job`): dispatcher → ``enrich_media_spans`` → conversion on an
+    arriving-documents stream against the static media sidecar.
+
+    ``docs`` is a streaming frame (doc_id, spans); ``media`` is the
+    STATIC sidecar (doc_id, media_ref, format, payload).  The call
+    reuses :func:`..plans.extract_job.extract_and_enrich` verbatim, so
+    batch/stream parity is by construction: the extraction dispatcher
+    and the per-doc map aggregation both live on the static side of a
+    stream-static LEFT join — legal without watermarks because only the
+    stream side is unbounded — and the splice + conversion stages are
+    stateless per row.  End-to-end exactly-once comes from the
+    checkpointed file sink (:func:`start_convert_sink`).
+
+    Scale note: Structured Streaming re-evaluates the static subplan
+    every micro-batch, i.e. the media extraction re-runs per trigger.
+    Right for a small/slowly-changing sidecar; for a 100 TB media table
+    pre-extract to a table once (`extract_stream` is the incremental
+    producer) and pass THAT as ``media`` with ``pre_extracted=True``.
+    A stream-stream join is deliberately not used: enrichment is keyed
+    by identity (doc_id, media_ref), not event time, and the sidecar
+    carries no timestamp to watermark on.
+    """
+    if pre_extracted:
+        from ..operators.pdf import enrich_media_spans
+
+        enriched = enrich_media_spans(
+            docs.select("doc_id", "spans"),
+            media.select("doc_id", "media_ref", "text"),
+        )
+    else:
+        from ..plans.extract_job import extract_and_enrich
+
+        enriched = extract_and_enrich(docs, media, permissive_pdf=permissive_pdf)
+    return convert_documents(enriched, mode=mode)
+
+
 def events_hourly_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window count/sum per event type (append-mode
     finalizing windows; late data beyond the watermark dropped)."""

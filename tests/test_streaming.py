@@ -393,3 +393,95 @@ def test_curate_near_sink_cross_batch_transitive(spark, tmp_path_factory):
     # state tables carry ALL exact-canonical docs (incl. dropped B, C)
     texts = {r["doc_id"] for r in spark.read.parquet(os.path.join(base, "state", "texts")).collect()}
     assert texts == {"a-doc", "u-doc", "b-doc", "c-doc"}
+
+
+def test_extract_convert_stream_matches_batch_job(spark, tmp_path_factory):
+    """Streaming twin of the FULL extraction job: dispatcher →
+    enrich_media_spans (stream-static doc-level join) → conversion on an
+    arriving-documents stream equals the batch composition row-for-row,
+    and a checkpointed restart with no new files adds nothing."""
+    from patent_decision_document_converter_spark.operators import pdf as pdfmod
+    from patent_decision_document_converter_spark.plans.extract_job import (
+        extract_and_enrich,
+    )
+
+    base = str(tmp_path_factory.mktemp("xjstream"))
+    inp, outp, ckpt = (os.path.join(base, d) for d in ("in", "out", "ckpt"))
+
+    good_pdf = pdfmod._encode_pdf([(72.0, 700.0, "attachment body")], compress=True)
+    long_p = "主要な本文ブロックです。" * 8
+
+    def t(text, off):
+        return {"kind": "text", "text": text, "media_ref": "", "offset": off}
+
+    def m(ref, off):
+        return {"kind": "media", "text": "", "media_ref": ref, "offset": off}
+
+    doc_rows = [
+        {"doc_id": "d0", "spans": [t("前文１", 0), m("pdf:d0", 1), t("後文１", 2)]},
+        {"doc_id": "d1", "spans": [t("前文２", 0), m("html:d1", 1)]},
+        {"doc_id": "d2", "spans": [m("bin:d2", 0), t("末文", 1)]},
+        {"doc_id": "d3", "spans": [t("テキストのみ", 0)]},
+    ]
+    media_rows = [
+        ("d0", "pdf:d0", "pdf", bytearray(good_pdf)),
+        ("d1", "html:d1", "html",
+         ('<div><a href="#">ナビ</a></div>' + f"<p>{long_p}</p>").encode()),
+        ("d2", "bin:d2", "mp4", bytearray(b"\x00\x01")),
+    ]
+    media = spark.createDataFrame(
+        media_rows, "doc_id string, media_ref string, format string, payload binary"
+    )
+    create_documents_df(spark, doc_rows).repartition(2).write.parquet(inp)
+
+    docs = stream_job.read_documents_stream(spark, inp, max_files=1)
+    out = stream_job.extract_convert_stream(docs, media, mode="officeAction")
+    assert out.isStreaming
+    q = stream_job.start_convert_sink(out, outp, ckpt)
+    q.awaitTermination()
+
+    batch_docs = create_documents_df(spark, doc_rows)
+    want = {
+        r["doc_id"]: r.asDict(recursive=True)
+        for r in convert_documents(
+            extract_and_enrich(batch_docs, media), "officeAction"
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: r.asDict(recursive=True)
+        for r in spark.read.parquet(outp).collect()
+    }
+    assert got == want
+
+    # restart with no new files: exactly-once, no duplicates
+    q2 = stream_job.start_convert_sink(
+        stream_job.extract_convert_stream(
+            stream_job.read_documents_stream(spark, inp), media, mode="officeAction"
+        ),
+        outp,
+        ckpt,
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(outp).count() == len(doc_rows)
+
+    # pre-extracted sidecar path (the 100-TB shape: extraction done once,
+    # enrichment joins the text table directly) — same result
+    pre = spark.createDataFrame(
+        [("d0", "pdf:d0", "attachment body"), ("d1", "html:d1", long_p)],
+        "doc_id string, media_ref string, text string",
+    )
+    outp2, ckpt2 = os.path.join(base, "out2"), os.path.join(base, "ckpt2")
+    q3 = stream_job.start_convert_sink(
+        stream_job.extract_convert_stream(
+            stream_job.read_documents_stream(spark, inp), pre,
+            mode="officeAction", pre_extracted=True,
+        ),
+        outp2,
+        ckpt2,
+    )
+    q3.awaitTermination()
+    got2 = {
+        r["doc_id"]: r.asDict(recursive=True)
+        for r in spark.read.parquet(outp2).collect()
+    }
+    assert got2 == want
