@@ -5,16 +5,19 @@ The corpus schema interleaves text spans with media spans
 opaque ``binary`` columns with typed metadata, and decode / feature
 extraction runs as Arrow-batched Pandas functions via ``mapInPandas``.
 
-``decode_media(..., impl="real")`` REALLY decodes the three formats a
+``decode_media(..., impl="real")`` REALLY decodes the four formats a
 stdlib-pure container can: uncompressed 24-bit BMP (struct-parsed
 headers + pixel channel sums), 16-bit PCM WAV (the stdlib ``wave``
-codec), and 8-bit RGB PNG (full stdlib decoder: chunk walk, zlib
-IDAT inflate, all five scanline filters incl. Paeth) —
-:func:`synth_media_table_real` / :func:`synth_media_table_png` build
-genuine files of each.  Formats needing non-stdlib codecs (jpeg/mp4)
-raise NotImplementedError at the codec call site; the default
-``impl="fake"`` byte-histogram twin keeps the Spark-side plumbing —
-schema, Arrow batch shape, partition behavior — testable for any format.
+codec), 8-bit RGB PNG (full stdlib decoder: chunk walk, zlib IDAT
+inflate, all five scanline filters incl. Paeth), and baseline
+sequential JPEG (marker walk, file-supplied DQT/DHT, Huffman entropy
+decode, dequant + IDCT, fixed-point YCbCr→RGB; 4:4:4 or grayscale) —
+:func:`synth_media_table_real` / :func:`synth_media_table_png` /
+:func:`synth_media_table_jpeg` build genuine files of each.  Formats
+needing non-stdlib codecs (mp4; progressive/subsampled jpeg) raise at
+the codec call site; the default ``impl="fake"`` byte-histogram twin
+keeps the Spark-side plumbing — schema, Arrow batch shape, partition
+behavior — testable for any format.
 
 Scale notes: media rows are fat (MBs); we bound Arrow batches via
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` (set in plans.job) and
@@ -299,9 +302,502 @@ def _decode_png(payload: bytes) -> list[float]:
     return [float(w), float(h)] + [float(s) for s in sums]
 
 
+# --- JPEG: a REAL stdlib baseline-sequential codec (ITU T.81).  Real
+# crawl corpora are jpeg-heavy, so the decode leg can't honestly stop at
+# PNG.  Profile: baseline DCT (SOF0), 8-bit, grayscale or 3-component
+# YCbCr with no chroma subsampling (all sampling factors 1 — the 4:4:4
+# shape thumbnailers emit); progressive (SOF2) and subsampled files
+# raise a ValueError naming the unsupported profile, mirroring the PNG
+# decoder's contract.  The DHT/DQT tables are read from the FILE (any
+# baseline 4:4:4/grayscale jpeg decodes, not just ours); the encoder
+# writes the spec's Annex-K Huffman tables so synthesized files open in
+# any viewer.  Color conversion is fixed-point integer math (the same
+# 16-bit-scaled constants libjpeg uses), which keeps the math exactly
+# replayable by an integer-only SQL oracle.
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.3 typical Huffman tables: (BITS counts per code length 1..16,
+# HUFFVAL symbol list) for DC/AC luminance and chrominance.
+_JPEG_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_JPEG_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+# fixed-point color conversion, 16-bit scale (identical constants to
+# libjpeg's jccolor/jdcolor): exact integer math both here and in the
+# DuckDB oracle.  Forward triples sum to 65536 so gray stays gray.
+_JFIX = 65536
+_JHALF = 32768
+
+
+def _jpeg_rgb_to_ycc(r: int, g: int, b: int) -> tuple[int, int, int]:
+    y = (19595 * r + 38470 * g + 7471 * b + _JHALF) >> 16
+    cb = ((-11059 * r - 21709 * g + 32768 * b + _JHALF) >> 16) + 128
+    cr = ((32768 * r - 27439 * g - 5329 * b + _JHALF) >> 16) + 128
+    clamp = lambda v: 0 if v < 0 else (255 if v > 255 else v)  # noqa: E731
+    return clamp(y), clamp(cb), clamp(cr)
+
+
+def _jpeg_ycc_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    r = y + ((91881 * (cr - 128) + _JHALF) >> 16)
+    g = y + ((-22554 * (cb - 128) - 46802 * (cr - 128) + _JHALF) >> 16)
+    b = y + ((116130 * (cb - 128) + _JHALF) >> 16)
+    clamp = lambda v: 0 if v < 0 else (255 if v > 255 else v)  # noqa: E731
+    return clamp(r), clamp(g), clamp(b)
+
+
+def _jpeg_cos_table() -> list[list[float]]:
+    import math
+
+    return [
+        [math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)] for u in range(8)
+    ]
+
+
+_JPEG_COS = _jpeg_cos_table()
+_JPEG_C = [0.7071067811865476] + [1.0] * 7  # C(0)=1/sqrt(2)
+
+
+def _jpeg_fdct(block: list[int]) -> list[int]:
+    """Forward 8×8 DCT of level-shifted samples → quantized (qtab=1)
+    integer coefficients in natural order."""
+    out = [0] * 64
+    for v in range(8):
+        for u in range(8):
+            s = 0.0
+            for y in range(8):
+                cy = _JPEG_COS[v][y]
+                row = y * 8
+                for x in range(8):
+                    s += block[row + x] * _JPEG_COS[u][x] * cy
+            val = 0.25 * _JPEG_C[u] * _JPEG_C[v] * s
+            out[v * 8 + u] = int(val + 0.5) if val >= 0 else -int(-val + 0.5)
+    return out
+
+
+def _jpeg_idct(coef: list[int]) -> list[int]:
+    """Inverse 8×8 DCT of dequantized coefficients → clamped samples."""
+    out = [0] * 64
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                cv = _JPEG_C[v] * _JPEG_COS[v][y]
+                row = v * 8
+                for u in range(8):
+                    c = coef[row + u]
+                    if c:
+                        s += _JPEG_C[u] * c * _JPEG_COS[u][x] * cv
+            val = 0.25 * s + 128.0
+            iv = int(val + 0.5) if val >= 0 else 0
+            out[y * 8 + x] = 0 if iv < 0 else (255 if iv > 255 else iv)
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, bits: int, n: int) -> None:
+        self._acc = (self._acc << n) | (bits & ((1 << n) - 1))
+        self._n += n
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self._n -= 8
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> bytes:
+        if self._n:
+            self.put((1 << (8 - self._n)) - 1, 8 - self._n)  # pad with 1s
+        return bytes(self.buf)
+
+
+def _jpeg_build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) per the spec's canonical code assignment."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(size category, appended bits) for a DC diff / AC coefficient."""
+    a, s = abs(v), 0
+    while a:
+        a >>= 1
+        s += 1
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _jpeg_encode_block(
+    w: _JpegBitWriter,
+    coef: list[int],
+    pred: int,
+    dc: dict[int, tuple[int, int]],
+    ac: dict[int, tuple[int, int]],
+) -> int:
+    zz = [coef[_JPEG_ZIGZAG[i]] for i in range(64)]
+    s, bits = _jpeg_magnitude(zz[0] - pred)
+    c, ln = dc[s]
+    w.put(c, ln)
+    if s:
+        w.put(bits, s)
+    run = 0
+    for i in range(1, 64):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac[0xF0]  # ZRL
+            w.put(c, ln)
+            run -= 16
+        s, bits = _jpeg_magnitude(zz[i])
+        c, ln = ac[(run << 4) | s]
+        w.put(c, ln)
+        w.put(bits, s)
+        run = 0
+    if run:
+        c, ln = ac[0x00]  # EOB
+        w.put(c, ln)
+    return zz[0]
+
+
+def _encode_jpeg(pixels: bytes, width: int, height: int, gray: bool = False) -> bytes:
+    """Emit a VALID baseline-sequential JPEG (quant tables all 1s —
+    legal, near-lossless; exactly lossless for blocks that are constant
+    per channel, where every AC coefficient is analytically zero).
+    width/height must be multiples of 8 (the synth geometry); ``pixels``
+    is raw RGB (or luma bytes when ``gray``)."""
+    if width % 8 or height % 8:
+        raise ValueError("encoder requires multiple-of-8 geometry")
+    ncomp = 1 if gray else 3
+    planes: list[list[int]] = [[0] * (width * height) for _ in range(ncomp)]
+    for i in range(width * height):
+        if gray:
+            planes[0][i] = pixels[i]
+        else:
+            y, cb, cr = _jpeg_rgb_to_ycc(
+                pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2]
+            )
+            planes[0][i], planes[1][i], planes[2][i] = y, cb, cr
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    qtab = bytes([0]) + bytes([1] * 64)  # Pq=0/Tq=0, all-ones
+    out += b"\xff\xdb" + _struct.pack(">H", 2 + 65) + qtab
+    sof = _struct.pack(">BHHB", 8, height, width, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])  # id, sampling 1x1, qtab 0
+    out += b"\xff\xc0" + _struct.pack(">H", 2 + len(sof)) + sof
+    tables = [(0x00, _JPEG_DC_LUM), (0x10, _JPEG_AC_LUM)]
+    if ncomp == 3:
+        tables += [(0x01, _JPEG_DC_CHR), (0x11, _JPEG_AC_CHR)]
+    for tc, (bits, vals) in tables:
+        body = bytes([tc]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + _struct.pack(">H", 2 + len(body)) + body
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + _struct.pack(">H", 2 + len(sos)) + sos
+
+    dc_l = _jpeg_build_codes(*_JPEG_DC_LUM)
+    ac_l = _jpeg_build_codes(*_JPEG_AC_LUM)
+    dc_c = _jpeg_build_codes(*_JPEG_DC_CHR)
+    ac_c = _jpeg_build_codes(*_JPEG_AC_CHR)
+    huff = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (ncomp - 1)
+    w = _JpegBitWriter()
+    preds = [0] * ncomp
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            for ci in range(ncomp):
+                block = [
+                    planes[ci][(by * 8 + yy) * width + bx * 8 + xx] - 128
+                    for yy in range(8)
+                    for xx in range(8)
+                ]
+                preds[ci] = _jpeg_encode_block(
+                    w, _jpeg_fdct(block), preds[ci], *huff[ci]
+                )
+    out += w.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing and RSTn
+    detection (``marker`` set when one is consumed)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+        self.marker: int | None = None
+
+    def bit(self) -> int:
+        if self._n == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                self.pos += 1
+                if nxt != 0x00:
+                    self.marker = nxt
+                    raise EOFError(f"marker 0x{nxt:02x} inside entropy data")
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> None:
+        self._n = 0
+
+
+def _jpeg_decode_huff(r: _JpegBitReader, table: dict[tuple[int, int], int]) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | r.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad Huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _decode_jpeg(payload: bytes) -> list[float]:
+    """Full baseline-sequential decode → [width, height, sum_R, sum_G,
+    sum_B] (grayscale: [width, height, sum_Y]).  Marker walk, DQT/DHT
+    from the file, interleaved MCU entropy decode, dequantize + dezigzag
+    + IDCT, DRI/RSTn honored, fixed-point YCbCr→RGB."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[tuple[int, int, int]] = []  # (id, sampling, tq)
+    width = height = 0
+    restart = 0
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker stream")
+        m = payload[pos + 1]
+        pos += 2
+        if m == 0xD9:  # EOI
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            continue
+        (ln,) = _struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2 : pos + ln]
+        if m == 0xDB:  # DQT (possibly several tables)
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0xF
+                o += 1
+                if pq:
+                    vals = list(_struct.unpack_from(">64H", body, o))
+                    o += 128
+                else:
+                    vals = list(body[o : o + 64])
+                    o += 64
+                qtabs[tq] = vals
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                f"unsupported JPEG profile: SOF marker 0x{m:02x} "
+                "(only baseline sequential SOF0 is supported)"
+            )
+        elif m == 0xC0:  # SOF0
+            prec, height, width, nc = _struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            for ci in range(nc):
+                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise ValueError(
+                        "unsupported JPEG profile: chroma subsampling "
+                        f"(sampling factor 0x{samp:02x}; only 4:4:4 / "
+                        "grayscale supported)"
+                    )
+                comps.append((cid, samp, tq))
+        elif m == 0xC4:  # DHT (possibly several tables)
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0xF
+                bits = list(body[o + 1 : o + 17])
+                nv = sum(bits)
+                vals = list(body[o + 17 : o + 17 + nv])
+                table: dict[tuple[int, int], int] = {}
+                code, k = 0, 0
+                for ll in range(1, 17):
+                    for _ in range(bits[ll - 1]):
+                        table[(ll, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                htabs[(tc, th)] = table
+                o += 17 + nv
+        elif m == 0xDD:  # DRI
+            (restart,) = _struct.unpack_from(">H", body, 0)
+        elif m == 0xDA:  # SOS — entropy data follows
+            nc = body[0]
+            scan = []  # (comp index, dc table, ac table)
+            for si in range(nc):
+                cs, tda = body[1 + 2 * si], body[2 + 2 * si]
+                idx = next(i for i, c in enumerate(comps) if c[0] == cs)
+                scan.append((idx, htabs[(0, tda >> 4)], htabs[(1, tda & 0xF)]))
+            r = _JpegBitReader(payload, pos + ln)
+            mx, my = (width + 7) // 8, (height + 7) // 8
+            planes = [[0] * (mx * my * 64) for _ in comps]
+            preds = [0] * len(comps)
+            mcu = 0
+            for byk in range(my):
+                for bxk in range(mx):
+                    if restart and mcu and mcu % restart == 0:
+                        r.align()
+                        if r.data[r.pos] == 0xFF and 0xD0 <= r.data[r.pos + 1] <= 0xD7:
+                            r.pos += 2
+                        preds = [0] * len(comps)
+                    mcu += 1
+                    for idx, dct, act in scan:
+                        q = qtabs[comps[idx][2]]
+                        coef = [0] * 64
+                        s = _jpeg_decode_huff(r, dct)
+                        diff = _jpeg_extend(r.bits(s), s) if s else 0
+                        preds[idx] += diff
+                        coef[0] = preds[idx] * q[0]
+                        k = 1
+                        while k < 64:
+                            sym = _jpeg_decode_huff(r, act)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0xF
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            coef[_JPEG_ZIGZAG[k]] = (
+                                _jpeg_extend(r.bits(size), size) * q[k]
+                            )
+                            k += 1
+                        samples = _jpeg_idct(coef)
+                        base = (byk * mx + bxk) * 64
+                        planes[idx][base : base + 64] = samples
+            sums = [0, 0, 0]
+            for byk in range(my):
+                for bxk in range(mx):
+                    base = (byk * mx + bxk) * 64
+                    for yy in range(8):
+                        py = byk * 8 + yy
+                        if py >= height:
+                            break
+                        for xx in range(8):
+                            if bxk * 8 + xx >= width:
+                                break
+                            o = base + yy * 8 + xx
+                            if len(comps) == 1:
+                                sums[0] += planes[0][o]
+                            else:
+                                rr, gg, bb = _jpeg_ycc_to_rgb(
+                                    planes[0][o], planes[1][o], planes[2][o]
+                                )
+                                sums[0] += rr
+                                sums[1] += gg
+                                sums[2] += bb
+            head = [float(width), float(height)]
+            if len(comps) == 1:
+                return head + [float(sums[0])]
+            return head + [float(s) for s in sums]
+        pos += ln
+    raise ValueError("JPEG missing SOS scan")
+
+
 def _decode_real(payload: bytes, fmt: str) -> list[float]:
-    """The real decoder hook: BMP, PCM-WAV and 8-bit-RGB PNG decode here
-    with pure stdlib codecs; jpeg/mp4 require PIL/pyav, absent in this
+    """The real decoder hook: BMP, PCM-WAV, 8-bit-RGB PNG and baseline
+    4:4:4/grayscale JPEG decode here with pure stdlib codecs; mp4 (and
+    progressive/subsampled jpeg) require ffmpeg/PIL, absent in this
     container."""
     if fmt == "bmp":
         return _decode_bmp(payload)
@@ -309,9 +805,12 @@ def _decode_real(payload: bytes, fmt: str) -> list[float]:
         return _decode_wav(payload)
     if fmt == "png":
         return _decode_png(payload)
+    if fmt in ("jpg", "jpeg"):
+        return _decode_jpeg(payload)
     raise NotImplementedError(
         f"real media decode ({fmt}) requires PIL/soundfile/pyav — not installed; "
-        "bmp/wav/png decode natively, or use impl='fake' for the byte-histogram stand-in"
+        "bmp/wav/png/jpeg decode natively, or use impl='fake' for the "
+        "byte-histogram stand-in"
     )
 
 
@@ -380,6 +879,55 @@ def synth_media_table_png(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "payload": payloads,
                     "n_bytes": [len(p) for p in payloads],
                     "format": ["png"] * len(refs),
+                }
+            )
+
+    return docs.select(F.col(id_col)).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+JPEG_W = JPEG_H = 16  # 2×2 blocks of 8×8, constant color per block
+
+
+def synth_media_table_jpeg(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One GENUINE baseline JPEG per document: 16×16 8-bit YCbCr 4:4:4
+    (SOF0, Annex-K Huffman tables, all-ones quant), where each of the
+    four 8×8 blocks has a CONSTANT RGB color taken from the md5 digest
+    of ``jr:<doc_id>:p0`` (bytes 3j..3j+2 for block j, row-major).
+    Constant blocks make every AC coefficient analytically zero, so the
+    lossy-in-general codec is EXACTLY lossless here up to the
+    fixed-point RGB→YCbCr→RGB color round-trip — integer math a DuckDB
+    oracle replays verbatim (contract query ``media_features_jpeg``):
+    agreement proves the encoder, the entropy/huffman round-trip, the
+    IDCT and the color conversion all at once.  The compressed size is
+    a huffman-content detail, so ``n_pix_bytes`` (w*h*3) is carried for
+    the compare, as with PNG."""
+    import hashlib
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            refs, payloads = [], []
+            for doc_id in pdf[id_col].astype(str):
+                ref = f"jr:{doc_id}"
+                d = hashlib.md5(f"{ref}:p0".encode()).digest()
+                pix = bytearray(JPEG_W * JPEG_H * 3)
+                for j in range(4):
+                    by, bx = divmod(j, 2)
+                    color = d[3 * j : 3 * j + 3]
+                    for yy in range(8):
+                        row = ((by * 8 + yy) * JPEG_W + bx * 8) * 3
+                        pix[row : row + 24] = color * 8
+                refs.append(ref)
+                payloads.append(_encode_jpeg(bytes(pix), JPEG_W, JPEG_H))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype(str),
+                    "media_ref": refs,
+                    "kind": ["image"] * len(refs),
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                    "format": ["jpeg"] * len(refs),
                 }
             )
 

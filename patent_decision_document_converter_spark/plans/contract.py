@@ -1981,6 +1981,76 @@ FROM pb GROUP BY doc_id, media_ref
 _MEDIA_PNG_SQL = _media_png_sql()
 
 
+def media_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stdlib baseline-JPEG codec under a hard oracle: genuine
+    16×16 4:4:4 SOF0 JPEGs (Annex-K Huffman tables, all-ones quant,
+    four 8×8 blocks each a constant md5-derived RGB color) are
+    synthesized, REALLY decoded (marker walk, DHT huffman decode,
+    dequant+IDCT, fixed-point YCbCr→RGB) by the same decode stage the
+    corpus pipeline uses, and the channel sums are recomputed by DuckDB
+    from the md5 hex chain plus the SAME integer color math — constant
+    blocks have analytically-zero AC coefficients, so the round-trip is
+    exact and agreement proves encoder, entropy coding, IDCT and color
+    conversion together.  Compressed size excluded (huffman-content
+    detail); n_pix_bytes = w*h*3, as with PNG."""
+    from ..operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = multimodal.synth_media_table_jpeg(docs)
+    feats = multimodal.decode_media(media, impl="real")
+    w = F.col("features")[0].cast("long")
+    h = F.col("features")[1].cast("long")
+    return feats.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "media_ref",
+        "kind",
+        (w * h * 3).alias("n_pix_bytes"),
+        F.concat_ws(
+            ",", F.transform(F.col("features"), lambda x: x.cast("long").cast("string"))
+        ).alias("feat_csv"),
+    )
+
+
+def _media_jpeg_sql() -> str:
+    from ..operators import multimodal as _mm
+
+    n_pix = _mm.JPEG_W * _mm.JPEG_H * 3
+    # fixed-point color constants — MUST mirror _jpeg_rgb_to_ycc /
+    # _jpeg_ycc_to_rgb exactly; >>16 on possibly-negative numerators is
+    # floor division, which FLOOR(x / 65536.0) reproduces exactly
+    # (numerators < 2^24, so the double division is exact)
+    return f"""
+WITH img AS (SELECT doc_id, 'jr:' || doc_id AS media_ref,
+                    md5('jr:' || doc_id || ':p0') AS pix
+             FROM documents),
+blk AS (SELECT doc_id, media_ref,
+               CAST('0x' || substr(pix, 6 * j + 1, 2) AS INTEGER) AS r,
+               CAST('0x' || substr(pix, 6 * j + 3, 2) AS INTEGER) AS g,
+               CAST('0x' || substr(pix, 6 * j + 5, 2) AS INTEGER) AS b
+        FROM img CROSS JOIN (SELECT unnest(range(4)) AS j)),
+ycc AS (SELECT doc_id, media_ref,
+  LEAST(255, GREATEST(0, CAST(FLOOR((19595*r + 38470*g + 7471*b + 32768) / 65536.0) AS INTEGER))) AS y,
+  LEAST(255, GREATEST(0, CAST(FLOOR((-11059*r - 21709*g + 32768*b + 32768) / 65536.0) AS INTEGER) + 128)) AS cb,
+  LEAST(255, GREATEST(0, CAST(FLOOR((32768*r - 27439*g - 5329*b + 32768) / 65536.0) AS INTEGER) + 128)) AS cr
+        FROM blk),
+rgb AS (SELECT doc_id, media_ref,
+  LEAST(255, GREATEST(0, y + CAST(FLOOR((91881*(cr-128) + 32768) / 65536.0) AS INTEGER))) AS r2,
+  LEAST(255, GREATEST(0, y + CAST(FLOOR((-22554*(cb-128) - 46802*(cr-128) + 32768) / 65536.0) AS INTEGER))) AS g2,
+  LEAST(255, GREATEST(0, y + CAST(FLOOR((116130*(cb-128) + 32768) / 65536.0) AS INTEGER))) AS b2
+        FROM ycc)
+SELECT doc_id, media_ref, 'image' AS kind,
+       CAST({n_pix} AS BIGINT) AS n_pix_bytes,
+       '{_mm.JPEG_W},{_mm.JPEG_H},'
+       || CAST(64 * SUM(r2) AS VARCHAR) || ','
+       || CAST(64 * SUM(g2) AS VARCHAR) || ','
+       || CAST(64 * SUM(b2) AS VARCHAR) AS feat_csv
+FROM rgb GROUP BY doc_id, media_ref
+"""
+
+
+_MEDIA_JPEG_SQL = _media_jpeg_sql()
+
+
 def media_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PDF/layout-parse leg of main-content extraction under a hard
     oracle: genuine single-page PDFs (object graph, xref, Tm-positioned
@@ -2555,6 +2625,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "media_features": (media_features, _MEDIA_FEATURES_SQL),
     "media_features_real": (media_features_real, _MEDIA_REAL_SQL),
     "media_features_png": (media_features_png, _MEDIA_PNG_SQL),
+    "media_features_jpeg": (media_features_jpeg, _MEDIA_JPEG_SQL),
     "media_pdf_extract": (media_pdf_extract, _MEDIA_PDF_SQL),
     "media_enrich_spans": (media_enrich_spans, _MEDIA_ENRICH_SQL),
     "extract_main_dispatch": (extract_main_dispatch, _EXTRACT_DISPATCH_SQL),

@@ -27,6 +27,7 @@ SUBSET = [
     "media_features",
     "corpus_html_dom_hints",
     "media_features_png",
+    "media_features_jpeg",
     "media_pdf_extract",
     "extract_main_dispatch",
     "convert_office_action",
