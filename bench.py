@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "media_features",
     "media_features_real",
     "media_features_png",
+    "media_features_jpeg",
     "media_pdf_extract",
     "media_enrich_spans",
     "extract_main_dispatch",

@@ -83,6 +83,67 @@ def read_documents(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_documents_table(
+    df: DataFrame, table: str, n_buckets: int = 32, location: str | None = None
+) -> None:
+    """Catalog-table twin of :func:`write_documents` via the
+    DataFrameWriterV2 API: ``writeTo(table).partitionedBy(bucket)``.
+
+    Against the built-in session catalog this creates a bucket-
+    partitioned parquet table; against an Iceberg/Delta catalog the SAME
+    calls go through their v2 connectors — this is the path COVERAGE.md
+    documents as the table-format story, now exercised (not just
+    modeled) in tests/test_sources.py."""
+    w = (
+        df.withColumn(
+            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+        )
+        .writeTo(table)
+        .using("parquet")
+        .partitionedBy(F.col("bucket"))
+    )
+    if location:
+        w = w.tableProperty("location", location)
+    try:
+        w.createOrReplace()
+    except Exception:
+        # the built-in session catalog supports CREATE but not REPLACE
+        # TABLE AS SELECT; atomic replace needs a true v2 catalog
+        # (Iceberg/Delta).  Emulate with drop+create there.
+        df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
+        w.create()
+
+
+def overwrite_document_partitions(df: DataFrame, table: str, n_buckets: int = 32) -> None:
+    """Dynamic partition overwrite: replaces exactly the bucket
+    partitions present in ``df`` (recomputed from doc_id, so callers
+    pass plain (doc_id, spans) frames), leaving every other partition
+    byte-untouched — the idempotent re-run/backfill primitive for the
+    resumable jobs when the corpus lives in a catalog table instead of
+    a raw parquet layout."""
+    out = df.withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+    )
+    try:
+        out.writeTo(table).overwritePartitions()
+    except Exception:
+        # v1 session-catalog tables reject the DataFrameWriterV2 write
+        # path ("Cannot write into v1 table"); the semantically-identical
+        # v1 spelling is dynamic-mode INSERT OVERWRITE.  With an
+        # Iceberg/Delta catalog the v2 branch above is taken.
+        spark = df.sparkSession
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "dynamic")
+        try:
+            out.write.mode("overwrite").insertInto(table)
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+
 def write_media(df: DataFrame, path: str, n_buckets: int = 32) -> None:
     """Write a media sidecar table (doc_id, media_ref, format, payload)
     partitioned by (bucket, format).

@@ -134,3 +134,64 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path_factory):
         assert joined.count() == 60
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_writeto_table_overwrite_partitions(spark, tmp_path_factory):
+    """The DataFrameWriterV2 catalog path (writeTo + overwritePartitions)
+    exercised for real: create a bucket-partitioned documents table,
+    dynamically overwrite ONE bucket's partitions with changed docs, and
+    verify the touched bucket updated while every other partition stayed
+    byte-identical. Same calls route through Iceberg/Delta connectors
+    when such a catalog is configured."""
+    from patent_decision_document_converter_spark.sources.documents import (
+        overwrite_document_partitions,
+        write_documents_table,
+    )
+
+    loc = str(tmp_path_factory.mktemp("v2tbl"))
+    table = "v2_docs_test"
+
+    def doc(i, text):
+        return {
+            "doc_id": f"d{i}",
+            "spans": [{"kind": "text", "text": text, "media_ref": "", "offset": 0}],
+        }
+
+    rows = [doc(i, f"原文{i}") for i in range(20)]
+    df = create_documents_df(spark, rows)
+    write_documents_table(df, table, n_buckets=4, location=loc)
+    try:
+        tbl = spark.read.table(table)
+        assert tbl.count() == 20
+        assert "bucket" in tbl.columns
+
+        # pick the docs of one bucket and rewrite ONLY them
+        target = tbl.select("doc_id", "bucket").collect()
+        by_bucket = {}
+        for r in target:
+            by_bucket.setdefault(r["bucket"], []).append(r["doc_id"])
+        bucket_id, ids = sorted(by_bucket.items())[0]
+        changed = [
+            doc(i, f"改訂{i}") for i in range(20) if f"d{i}" in set(ids)
+        ]
+        before = {
+            r["doc_id"]: r["spans"][0]["text"]
+            for r in tbl.collect()
+        }
+        overwrite_document_partitions(
+            create_documents_df(spark, changed), table, n_buckets=4
+        )
+
+        after_rows = spark.read.table(table).collect()
+        after = {r["doc_id"]: r["spans"][0]["text"] for r in after_rows}
+        assert len(after_rows) == 20  # dynamic overwrite: no dup, no loss
+        for did, text in after.items():
+            if did in set(ids):
+                assert text.startswith("改訂"), (did, text)
+            else:
+                assert text == before[did], (did, text)
+        # partition pruning still works on the table read
+        pruned = spark.read.table(table).filter(F.col("bucket") == bucket_id)
+        assert {r["doc_id"] for r in pruned.collect()} == set(ids)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
