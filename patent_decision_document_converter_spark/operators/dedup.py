@@ -50,6 +50,33 @@ def tokens(col: str = "text") -> Column:
     return F.split(normalized_text(col), " ")
 
 
+def stage_barrier(arr: Column) -> Column:
+    """Pushdown barrier for a staged expensive array column.
+
+    ``when(rand(seed) >= -1, arr)`` is identity-valued (the predicate is
+    always true) but carries the NONDETERMINISTIC marker, so Catalyst
+    cannot push predicates through the projection that stages ``arr``.
+    Without it, exploding a staged shingle array lets
+    ``InferFiltersFromGenerate``'s implicit ``size(e) > 0 AND
+    isnotnull(e)`` filter be predicate-pushed below the staging
+    projections — re-inlining the whole tokenize/shingle chain into the
+    Filter with ``split()`` INSIDE the per-element lambda (the
+    interpreted-HOF O(n²) pitfall) and, past a parallelism-floor
+    repartition, into the 1-split scan stage, serializing the corpus
+    through one task before the real 32-way stage recomputes it.  The
+    r5 plan audit measured dedup_decontaminate at ~10 s steady-state
+    from exactly this; barriered it is the cost of one rand per row.
+
+    The guard must be ``rand() + 1 > 0`` (arithmetic form), not
+    ``rand() >= -1``: Spark 4's optimizer range-folds DIRECT
+    comparisons of rand with a literal (rand ∈ [0,1) ⇒ condition
+    constant ⇒ the when() — and the nondeterministic marker with it —
+    is eliminated and the pushdown returns), but does not reason
+    through the addition.
+    """
+    return F.when(F.rand(11) + F.lit(1.0) > F.lit(0.0), arr)
+
+
 def char_shingles_from_norm(norm: Column, k: int = 5) -> Column:
     """Distinct character k-gram shingles from a MATERIALIZED normalized-
     text column — the script-agnostic shingle unit (word shingles see one
@@ -356,18 +383,22 @@ def ngram_jaccard_pairs(
     At 100 TB this runs ONLY over LSH ``candidates`` (semi-join pushed
     below the explode); all-pairs mode is for small corpora / oracles.
     """
+    # stage the shingle array behind a pushdown barrier BEFORE exploding:
+    # see stage_barrier — the explode's inferred size/notnull filter must
+    # read the staged attribute, never re-inline the HOF chain
     if unit == "char":
         normed = df.select(F.col(id_col), normalized_text(text_col).alias("_norm"))
-        sh = normed.select(
+        staged = normed.select(
             F.col(id_col),
-            F.explode(char_shingles_from_norm(F.col("_norm"), shingle_k)).alias("shingle"),
+            stage_barrier(char_shingles_from_norm(F.col("_norm"), shingle_k)).alias("_sh"),
         )
     else:
         toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
-        sh = toked.select(
+        staged = toked.select(
             F.col(id_col),
-            F.explode(shingles_from_tokens(F.col("_toks"), shingle_k)).alias("shingle"),
+            stage_barrier(shingles_from_tokens(F.col("_toks"), shingle_k)).alias("_sh"),
         )
+    sh = staged.select(F.col(id_col), F.explode("_sh").alias("shingle"))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
 
     a = sh.alias("a")
@@ -786,8 +817,12 @@ def cross_ngram_overlap(
     """
     def side(df: DataFrame, id_col: str, alias: str) -> DataFrame:
         toked = df.select(F.col(id_col).alias(alias), tokens(text_col).alias("_toks"))
+        # stage_barrier: the explode's inferred size/notnull filter must
+        # read the staged attribute, not re-inline the HOF chain below
+        # the parallelism-floor repartition (1-split scan = one task)
         sh = toked.select(
-            F.col(alias), shingles_from_tokens(F.col("_toks"), shingle_k).alias("_sh")
+            F.col(alias),
+            stage_barrier(shingles_from_tokens(F.col("_toks"), shingle_k)).alias("_sh"),
         )
         return sh.select(F.col(alias), F.explode("_sh").alias("shingle")).select(
             F.col(alias), md5_long(F.col("shingle")).alias("sh_hash")
@@ -870,7 +905,7 @@ def decontaminate_chunks(
         toked.select(
             "train_id",
             "chunk_id",
-            shingles_from_tokens(F.col("_toks"), shingle_k).alias("_sh"),
+            stage_barrier(shingles_from_tokens(F.col("_toks"), shingle_k)).alias("_sh"),
         )
         .select(
             "train_id",
@@ -882,7 +917,10 @@ def decontaminate_chunks(
     )
     etoked = evalset.select(F.col(eval_id).alias("eval_id"), tokens(text_col).alias("_toks"))
     esh = (
-        etoked.select("eval_id", shingles_from_tokens(F.col("_toks"), shingle_k).alias("_sh"))
+        etoked.select(
+            "eval_id",
+            stage_barrier(shingles_from_tokens(F.col("_toks"), shingle_k)).alias("_sh"),
+        )
         .select("eval_id", F.explode("_sh").alias("shingle"))
         .select("eval_id", md5_long(F.col("shingle")).alias("sh_hash"))
     )

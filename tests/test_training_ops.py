@@ -1406,3 +1406,35 @@ def test_jpeg_synth_decode_spark(spark):
             want[1] += 64 * g2
             want[2] += 64 * b2
         assert feats[did] == [16.0, 16.0] + [float(x) for x in want]
+
+
+def test_shingle_explode_filters_never_reinline_the_hof_chain(docs):
+    """Plan guard for stage_barrier (dedup.py): exploding a staged
+    shingle array must not let InferFiltersFromGenerate's size/notnull
+    filter be predicate-pushed below the staging projection — the pushed
+    copy re-inlines the whole tokenize/shingle chain into a Filter node
+    (with split() inside the per-element lambda: the interpreted-HOF
+    O(n²) pitfall) and, under the parallelism floor, into the 1-split
+    scan stage on ONE task.  Invariant: no Filter node carries the
+    shingle HOF subtree; it must only appear in Project nodes."""
+    queries = {
+        "jaccard": dedup.ngram_jaccard_pairs(docs, threshold_tenths=0),
+        "decontaminate": dedup.cross_ngram_overlap(
+            docs.filter(F.col("doc_id") > 1),
+            docs.filter(F.col("doc_id") <= 1),
+            min_common=1,
+            max_eval_df=5,
+        ),
+        "chunks": dedup.decontaminate_chunks(
+            docs.filter(F.col("doc_id") > 1), docs.filter(F.col("doc_id") <= 1)
+        ),
+    }
+    for name, q in queries.items():
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "array_distinct(transform" in plan, name  # chain present
+        bad = [
+            ln
+            for ln in plan.splitlines()
+            if "Filter " in ln and "array_distinct(transform" in ln
+        ]
+        assert not bad, (name, bad[:1])
