@@ -2505,8 +2505,9 @@ def convert_interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def convert_interleaved_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The EXPLODED (skew-defusal) strategy on the same interleaved
-    corpus — per-run fan-out, window re-stitch — must hit the identical
-    reference-JS oracle as the nested strategy."""
+    corpus — array-native run assembly, per-run fan-out repartition,
+    ordered re-stitch — must hit the identical reference-JS oracle as
+    the nested strategy."""
     from .job import convert_documents_exploded
 
     docs = _t(spark, sf_dir, "documents")

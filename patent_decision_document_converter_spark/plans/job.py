@@ -27,11 +27,12 @@ import json
 import os
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
 from ..functions import typo
+from ..operators.dedup import stage_barrier
 from ..sources.documents import SPANS_OUT_SCHEMA
 from .registry import MODES, mode_fn
 
@@ -241,22 +242,170 @@ _RUNS_OUT_SCHEMA = StructType(
 )
 
 
+def _assemble_runs(df: DataFrame) -> DataFrame:
+    """documents(doc_id, spans) -> one row per text RUN:
+    ``(doc_id, ord_key:int, run_text)``, hash-repartitioned on
+    ``(doc_id, ord_key)`` so one doc's runs spread across tasks.
+
+    Run assembly is ARRAY-NATIVE: staged array expressions (sorted text
+    spans → per-span run id → contiguous-slice grouping, O(n·log n +
+    n·m) for n text spans and m media boundaries) build the per-doc runs
+    array before any explode — no Window, no groupBy.  The r5 plan
+    audit showed the old
+    explode → window(run_id) → groupBy(doc_id, run_id) shape never
+    actually fanned out: the groupBy reused the window's hash(doc_id)
+    exchange (doc_id ⊆ grouping keys satisfies the clustered
+    distribution), so EVERY run of a megadoc stayed in one partition
+    through the Python stage.  Here the only pre-Python exchange is an
+    explicit repartition on (doc_id, ord_key) — true per-run fan-out —
+    and the window sort plus both two-level collect_list aggregations
+    are gone.  The staged runs array is wrapped in
+    :func:`~..operators.dedup.stage_barrier` so
+    ``InferFiltersFromGenerate``'s implicit ``size(_runs) > 0`` filter
+    cannot be predicate-pushed below the staging projection (which would
+    re-inline — and re-evaluate — the whole assembly inside the Filter
+    node; see PLANS.md "Round-5 plan audit").
+
+    Tie semantics at equal offsets replicate the old RANGE-frame window:
+    a media span at an offset counts toward the boundary before any text
+    span at the same offset (RANGE frames include all peers in the
+    running media count), and text-text ties order by text — matching
+    the old ``array_sort(collect_list(struct(offset, text)))``.  Spans
+    with NULL kind are inert (neither boundary nor run member), exactly
+    as the old ``kind != 'text'`` null semantics dropped them from both
+    the running sum and both filters.
+    """
+
+    def is_text(s: Column) -> Column:
+        return s["kind"].eqNullSafe(F.lit("text"))
+
+    def cmp_text(a: Column, b: Column) -> Column:
+        return (
+            F.when(a["offset"] < b["offset"], -1)
+            .when(a["offset"] > b["offset"], 1)
+            .when(a["text"] < b["text"], -1)
+            .when(a["text"] > b["text"], 1)
+            .otherwise(0)
+        )
+
+    empty_runs = F.array().cast("array<struct<ord_key:int,run_text:string>>")
+
+    # p0: text spans sorted by (offset, text) + the media-offset array,
+    # each staged ONCE per doc.  Every stage below is barriered: the
+    # staged arrays are read inside per-element lambdas further down, so
+    # a CollapseProject inline would re-evaluate them once per ELEMENT
+    # (the interpreted-HOF O(n²) pitfall — a megadoc's 11k-span array
+    # re-scanned 11k times).  An aggregate-accumulator assembly was the
+    # first draft here and benched 2× SLOWER than the window it
+    # replaced on the mega-tail corpus: appending to the accumulator
+    # array copies it per element — O(run_len²) — so the linear staged
+    # form below is load-bearing, not style.
+    p0 = df.select(
+        "doc_id",
+        stage_barrier(F.array_sort(F.filter("spans", is_text), cmp_text)).alias("_stext"),
+        stage_barrier(
+            F.transform(
+                F.filter("spans", lambda s: s["kind"].isNotNull() & (s["kind"] != F.lit("text"))),
+                lambda s: s["offset"],
+            )
+        ).alias("_moffs"),
+    )
+    # p1: run id per text span = count of media offsets <= its offset
+    # (<=, not <: a media span at the SAME offset counts toward the
+    # boundary — the RANGE-frame window this replaces summed all offset
+    # peers into the running media count).  O(m) per text span on the
+    # staged media array; media counts are structurally small (figures/
+    # tables per document), so the doc cost is O(n·m).
+    p1 = p0.select(
+        "doc_id",
+        stage_barrier(
+            F.transform(
+                "_stext",
+                lambda t: F.struct(
+                    F.size(F.filter("_moffs", lambda o: o <= t["offset"])).alias("rid"),
+                    t["offset"].cast("int").alias("offset"),
+                    t["text"].alias("text"),
+                ),
+            )
+        ).alias("_tr"),
+    )
+    # p2: runs are CONTIGUOUS slices of _tr (it is offset-sorted), so
+    # run starts are the 0-based indices where rid changes — O(n) with
+    # O(1) element gets on the staged array.
+    n_tr = F.size("_tr")
+    starts = F.filter(
+        F.sequence(F.lit(0), n_tr - 1),
+        lambda i: (i == 0) | (F.get("_tr", i)["rid"] != F.get("_tr", i - 1)["rid"]),
+    )
+    p2 = p1.select(
+        "doc_id",
+        "_tr",
+        stage_barrier(
+            F.when(n_tr > 0, starts).otherwise(F.array().cast("array<int>"))
+        ).alias("_starts"),
+    )
+    # p3: pair each start with the next start (or n) and slice — every
+    # text element is copied into exactly one run, O(n) total.
+    n_starts = F.size("_starts")
+    nexts = F.concat(
+        F.slice("_starts", 2, F.greatest(n_starts - 1, F.lit(0))),
+        F.array(F.size("_tr")),
+    )
+    runs_arr = F.when(
+        F.size("_tr") > 0,
+        F.zip_with(
+            "_starts",
+            nexts,
+            lambda a, b: F.struct(
+                F.get("_tr", a)["offset"].alias("ord_key"),
+                F.array_join(
+                    F.transform(F.slice("_tr", a + 1, b - a), lambda t: t["text"]),
+                    "\n",
+                ).alias("run_text"),
+            ),
+        ),
+    ).otherwise(empty_runs)
+    staged = p2.select("doc_id", stage_barrier(runs_arr).alias("_runs"))
+    # EXPLICIT partition count: a column-only repartition is
+    # REPARTITION_BY_COL, which AQE freely coalesces by BYTES — and the
+    # skew this path defuses is CPU skew (a megadoc's runs are a few MB
+    # of shuffle but minutes of convert CPU), so byte-coalescing would
+    # quietly fold the fan-out back into one task.  An explicit count is
+    # REPARTITION_BY_NUM, which AQE never coalesces.
+    spark = df.sparkSession
+    n_parts = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    return (
+        staged.select("doc_id", F.explode("_runs").alias("r"))
+        .select(
+            "doc_id",
+            F.col("r.ord_key").alias("ord_key"),
+            F.col("r.run_text").alias("run_text"),
+        )
+        .repartition(n_parts, "doc_id", "ord_key")
+    )
+
+
 def convert_documents_exploded(df: DataFrame, mode: str = "officeAction") -> DataFrame:
     """Exploded-strategy twin of :func:`convert_documents` — IDENTICAL
-    output (north_star shape: explode spans → classify per run →
-    re-stitch with a window over (doc_id, offset)).
+    output (north_star shape: per-run fan-out, ordered re-stitch).
 
     Text runs between media spans are independent conversion units by
     construction, so here each run becomes its OWN row before the Python
     stage: a megadoc whose spans interleave media is processed by many
-    tasks in parallel instead of one straggler task.  Cost: two extra
-    shuffles (run assembly + doc re-stitch) — use for skewed corpora
-    where the megadoc tail dominates; the nested strategy wins on
-    uniform corpora.
+    tasks in parallel instead of one straggler task.  Use for skewed
+    corpora where the megadoc tail dominates; the nested strategy wins
+    on uniform corpora.
 
-    Plan: explode → window(run_id = running media count over offset
-    order) → groupBy(doc_id, run_id) run assembly → MapInPandas(convert)
-    → union media rows → groupBy(doc_id) ordered re-stitch.
+    Plan (r5 rewrite, see :func:`_assemble_runs`): array-native run
+    assembly → explode runs → repartition(doc_id, ord_key) →
+    MapInPandas(convert) → union media rows → groupBy(doc_id) ordered
+    re-stitch.  Two shuffles total: the fan-out repartition of assembled
+    run text and the re-stitch aggregation of converted text — the same
+    exchange count as the old window-based shape, which shipped the same
+    text bytes but never spread a doc's runs beyond one partition.
 
     Assumes ``doc_id`` is a key (input_hint: unique) — duplicate ids
     would be merged by the re-stitch groupBy, whereas the nested
@@ -264,40 +413,7 @@ def convert_documents_exploded(df: DataFrame, mode: str = "officeAction") -> Dat
     """
     if mode not in MODES:
         raise KeyError(f"unknown mode {mode!r}")
-    ex = (
-        df.select("doc_id", F.size("spans").alias("n_spans_in"), F.explode("spans").alias("s"))
-        .select(
-            "doc_id",
-            "n_spans_in",
-            F.col("s.kind").alias("kind"),
-            F.col("s.text").alias("text"),
-            F.col("s.media_ref").alias("media_ref"),
-            F.col("s.offset").alias("offset"),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy("offset")
-    ex = ex.withColumn("is_media", F.col("kind") != "text").withColumn(
-        "run_id", F.sum(F.col("is_media").cast("int")).over(w)
-    )
-
-    runs = (
-        ex.filter(~F.col("is_media"))
-        .groupBy("doc_id", "run_id")
-        .agg(
-            F.any_value("n_spans_in").alias("n_spans_in"),
-            F.min("offset").alias("ord_key"),
-            F.concat_ws(
-                "\n",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("offset", "text"))),
-                    lambda s: s["text"],
-                ),
-            ).alias("run_text"),
-        )
-    )
-    converted = runs.select("doc_id", "ord_key", "run_text").mapInPandas(
-        _convert_runs(mode), schema=_RUNS_OUT_SCHEMA
-    )
+    converted = _assemble_runs(df).mapInPandas(_convert_runs(mode), schema=_RUNS_OUT_SCHEMA)
     converted = converted.select(
         "doc_id",
         "ord_key",
@@ -306,12 +422,20 @@ def convert_documents_exploded(df: DataFrame, mode: str = "officeAction") -> Dat
         F.lit("").alias("media_ref"),
         "findings",
     )
-    media = ex.filter(F.col("is_media")).select(
+    media = df.select(
         "doc_id",
-        F.col("offset").alias("ord_key"),
-        "kind",
-        "text",
-        "media_ref",
+        F.explode(
+            F.filter(
+                F.col("spans"),
+                lambda s: s["kind"].isNotNull() & (s["kind"] != F.lit("text")),
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.offset").alias("ord_key"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
         F.array().cast(SPANS_OUT_SCHEMA["findings"].dataType).alias("findings"),
     )
     stitched = (

@@ -149,6 +149,52 @@ def test_exploded_strategy_equals_nested(spark, docs_rows):
         assert nested == exploded, mode
 
 
+def test_exploded_runs_fan_out_and_plan(spark):
+    """The exploded strategy must ACTUALLY fan a megadoc's runs across
+    partitions — the r5 plan audit found the old explode → window →
+    groupBy(doc_id, run_id) shape never did: the groupBy reused the
+    window's hash(doc_id) exchange (doc_id ⊆ grouping keys), so every
+    run of a doc stayed in ONE partition through the Python stage.
+    Guards: (a) one many-boundary megadoc's runs occupy >1 partition at
+    the MapInPandas input, via an explicit-count repartition
+    (REPARTITION_BY_NUM) that AQE's byte-based coalescing cannot fold
+    back into one task (the skew defused here is CPU skew, not bytes);
+    (b) no Window in the plan and the fan-out exchange keys on
+    (doc_id, ord_key); (c) the run-assembly aggregate is never
+    re-inlined into a Filter node (stage_barrier holds — PLANS.md
+    round-5 pushdown audit)."""
+    import re
+
+    from patent_decision_document_converter_spark.plans.job import (
+        _assemble_runs,
+        convert_documents_exploded,
+    )
+
+    spans = []
+    for i in range(200):
+        spans.append({"kind": "text", "text": f"line {i}\n本文", "media_ref": "", "offset": 2 * i})
+        spans.append({"kind": "figure", "text": "", "media_ref": f"m:{i}", "offset": 2 * i + 1})
+    df = create_documents_df(spark, [{"doc_id": "mega", "spans": spans}])
+
+    runs = _assemble_runs(df)
+    assert runs.count() == 200
+    n_parts = runs.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert n_parts > 1, "megadoc runs collapsed into one partition"
+
+    plan = (
+        convert_documents_exploded(df, "officeAction")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "REPARTITION_BY_NUM" in plan
+    assert re.search(r"Exchange hashpartitioning\(doc_id#\d+, ord_key#\d+", plan)
+    for line in plan.splitlines():
+        if "Filter" in line:
+            assert "aggregate(" not in line, "run assembly re-inlined into a Filter"
+
+
 def test_auto_strategy_pick_and_parity(spark, docs_rows):
     """pick_convert_strategy implements the straggler cost model: a doc
     holding >= straggler_factor core-fair-shares of span work goes
