@@ -156,8 +156,10 @@ def main() -> None:
             "whole megadoc groups behind single tasks; 'auto' measures the "
             "straggler-cost-model strategy pick (includes its stats job) vs the "
             "better hand-picked strategy on each corpus — on both corpora here "
-            "max_doc*cores/total < 3 so auto stays nested+salt, which the "
-            "checksum-actioned timings confirm beats exploded"
+            "max_doc*cores/total < 3 so auto stays nested+salt; post-r5 "
+            "(array-native run assembly + explicit fan-out repartition) salted "
+            "nested still wins the mega tail while the uniform corpus is a "
+            "wash between the strategies"
         ),
     }
     with open(os.path.join(REPO, "BENCH_SKEW.json"), "w") as f:
