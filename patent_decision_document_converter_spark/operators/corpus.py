@@ -51,6 +51,61 @@ def stratified_sample(
     return df.filter(sample_key(F.col(id_col), salt) < quota)
 
 
+def _temperature_quotas(counts: dict[str, int], alpha: float) -> dict[str, int]:
+    """Per-stratum keep-rate (permille) that flattens the observed source
+    mixture toward uniform: rate_s = 1000 · (n_min / n_s)^(1-α).
+
+    α=1 keeps the natural mixture (all 1000‰), α=0 flattens fully (every
+    stratum downsampled to the smallest one's size), α between interpolates
+    — the standard temperature-sampling rule for multilingual / multi-source
+    training mixes, restricted to the downsample-only regime (the smallest
+    stratum is always kept whole; filtering cannot upsample).
+
+    α=0.5 (the contract-pinned value) is computed INTEGER-EXACTLY as
+    ``isqrt((10^6 · n_min) // n_s)``: floor(sqrt(k)) of an integer k ≤ 10^6
+    is exact in IEEE double, so a SQL oracle recomputes the identical
+    quotas with FLOOR(SQRT(...)) — no cross-engine pow() rounding risk.
+    Other α use float pow (fine for driver-side model params; not
+    contract-gated).
+    """
+    import math
+
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1] (filtering cannot upsample)")
+    n_min = min(counts.values())
+    if alpha == 0.5:
+        return {s: math.isqrt((1_000_000 * n_min) // n) for s, n in counts.items()}
+    return {s: int(1000 * (n_min / n) ** (1.0 - alpha)) for s, n in counts.items()}
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.5,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> tuple[DataFrame, dict[str, int]]:
+    """Temperature-flattened training mixture over an observed stratum
+    distribution; returns (sampled DataFrame, quotas_permille).
+
+    Two-phase, same doctrine as k-means (:mod:`.similarity`): the stratum
+    counts are aggregated once (a k-row collect — model parameters, not
+    data), the quotas are computed on the driver via
+    :func:`_temperature_quotas`, and membership is the deterministic
+    hash-bucket filter of :func:`stratified_sample` — one scan, zero
+    shuffle on the data path, identical sample under any partitioning or
+    resume.  At 100 TB the counts aggregation is a map-side-combined
+    groupBy on a low-cardinality key (#sources), and the filter is a
+    pure per-row expression.
+    """
+    # null strata carry no quota (stratified_sample drops them anyway)
+    counts = {r[0]: r[1] for r in df.groupBy(strata_col).count().collect() if r[0] is not None}
+    if not counts:
+        return df.filter(F.lit(False)), {}
+    quotas = _temperature_quotas(counts, alpha)
+    return stratified_sample(df, quotas, strata_col, id_col, salt), quotas
+
+
 # PII patterns — deliberately restricted to syntax identical under Java
 # regex (Spark) and RE2 (DuckDB): character classes, bounded repeats,
 # \b word boundaries; no lookaround, no backreferences.

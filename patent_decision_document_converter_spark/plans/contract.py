@@ -1632,6 +1632,33 @@ WHERE ((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 15) AS
 """
 
 
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixture (α=0.5): per-source keep-rate
+    = floor(sqrt((10^6·n_min)//n_s)) permille — quotas derived from the
+    OBSERVED counts (driver-side model params, like k-means centroids),
+    membership the deterministic hash bucket.  α=0.5 is pinned because
+    its quota rule is integer-exact in both engines (floor-sqrt of an
+    integer ≤ 10^6 is exact in IEEE double), so the oracle recomputes
+    the quotas bit-for-bit with no cross-engine pow() rounding risk."""
+    from ..operators import corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    out, _quotas = corpus.temperature_mix(docs, alpha=0.5, strata_col="lang", id_col="doc_id")
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
+
+_TEMP_MIX_SQL = """
+WITH c AS (SELECT lang AS s, COUNT(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT MIN(n) AS n_min FROM c),
+q AS (SELECT c.s, CAST(FLOOR(SQRT(CAST((1000000 * m.n_min) // c.n AS DOUBLE))) AS BIGINT) AS permille
+      FROM c, m)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang AS lang
+FROM documents d JOIN q ON q.s = d.lang
+WHERE ((CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 15) AS BIGINT)) % 1000)
+      < q.permille
+"""
+
+
 def corpus_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing machinery under a hard oracle: inject synthetic
     email/phone/IP strings per row (identically in both engines), then
@@ -2616,6 +2643,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_unigram_surprise": (text_unigram_surprise, _UNIGRAM_SURPRISE_SQL),
     # corpus-construction suite
     "corpus_stratified_sample": (corpus_stratified_sample, _STRAT_SAMPLE_SQL),
+    "corpus_temperature_mix": (corpus_temperature_mix, _TEMP_MIX_SQL),
     "corpus_redact_pii": (corpus_redact_pii, _REDACT_SQL),
     "corpus_tfidf_top_terms": (corpus_tfidf_top_terms, _TFIDF_SQL),
     "corpus_html_main_content": (corpus_html_main_content, _HTML_MAIN_SQL),

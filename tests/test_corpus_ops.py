@@ -34,6 +34,50 @@ def test_stratified_sample_deterministic_and_proportional(spark):
     assert {i for i in out3 if i % 2 == 0} != {i for i in out1 if i % 2 == 0}
 
 
+def test_temperature_quotas_rule():
+    """α=0.5 uses the integer-exact floor-sqrt rule (oracle-shared);
+    α=1 is the identity mixture; α=0 flattens every stratum to the
+    smallest one's size; the float and integer paths agree at α=0.5."""
+    import math
+
+    counts = {"a": 100, "b": 400, "c": 900}
+    assert corpus._temperature_quotas(counts, 0.5) == {"a": 1000, "b": 500, "c": 333}
+    assert corpus._temperature_quotas(counts, 1.0) == {"a": 1000, "b": 1000, "c": 1000}
+    assert corpus._temperature_quotas(counts, 0.0) == {"a": 1000, "b": 250, "c": 111}
+    # downsample-only: quota never exceeds 1000, smallest stratum kept whole
+    for alpha in (0.0, 0.3, 0.5, 0.7, 1.0):
+        q = corpus._temperature_quotas(counts, alpha)
+        assert max(q.values()) == 1000 and q["a"] == 1000
+    # float pow path tracks the isqrt path at 0.5 on varied counts
+    varied = {f"s{i}": n for i, n in enumerate([7, 19, 55, 160, 443, 1201, 3301, 9001])}
+    exact = corpus._temperature_quotas(varied, 0.5)
+    for s, n in varied.items():
+        assert abs(exact[s] - int(1000 * (7 / n) ** 0.5)) <= 1
+    with pytest.raises(ValueError):
+        corpus._temperature_quotas(counts, 1.5)
+
+
+def test_temperature_mix_flattens_and_is_deterministic(spark):
+    """en:ja = 4:1 input; α=0 must flatten to ~1:1 (every stratum near
+    the smallest's size), membership stable under repartitioning, and
+    null strata are dropped."""
+    rows = [(i, "en" if i % 5 else "ja") for i in range(2500)]  # 2000 en, 500 ja
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out, quotas = corpus.temperature_mix(df, alpha=0.0, strata_col="lang")
+    assert quotas == {"en": 250, "ja": 1000}
+    got = {r["doc_id"] for r in out.collect()}
+    n_en = sum(1 for i in got if i % 5)
+    assert sum(1 for i in got if i % 5 == 0) == 500  # ja kept whole
+    assert 430 <= n_en <= 570  # ~500 of 2000 at 250 permille
+    out2, _ = corpus.temperature_mix(df.repartition(7), alpha=0.0, strata_col="lang")
+    assert {r["doc_id"] for r in out2.collect()} == got
+    # a null stratum row is dropped, not crashed on
+    with_null = df.union(spark.createDataFrame([(99999, None)], "doc_id long, lang string"))
+    out3, q3 = corpus.temperature_mix(with_null, alpha=0.0, strata_col="lang")
+    assert q3 == quotas
+    assert 99999 not in {r["doc_id"] for r in out3.collect()}
+
+
 def test_redact_pii_patterns(spark):
     df = spark.createDataFrame(
         [
