@@ -247,10 +247,11 @@ def _assemble_runs(df: DataFrame) -> DataFrame:
     ``(doc_id, ord_key:int, run_text)``, hash-repartitioned on
     ``(doc_id, ord_key)`` so one doc's runs spread across tasks.
 
-    Run assembly is ARRAY-NATIVE: staged array expressions (sorted text
-    spans → per-span run id → contiguous-slice grouping, O(n·log n +
-    n·m) for n text spans and m media boundaries) build the per-doc runs
-    array before any explode — no Window, no groupBy.  The r5 plan
+    Run assembly is ARRAY-NATIVE: staged array expressions (one sorted
+    non-null span array → run start/last indices = consecutive-text
+    boundaries → contiguous slices, O(n·log n) total regardless of how
+    many media boundaries interleave) build the per-doc runs array
+    before any explode — no Window, no groupBy.  The r5 plan
     audit showed the old
     explode → window(run_id) → groupBy(doc_id, run_id) shape never
     actually fanned out: the groupBy reused the window's hash(doc_id)
@@ -279,93 +280,76 @@ def _assemble_runs(df: DataFrame) -> DataFrame:
     def is_text(s: Column) -> Column:
         return s["kind"].eqNullSafe(F.lit("text"))
 
-    def cmp_text(a: Column, b: Column) -> Column:
+    def cmp(a: Column, b: Column) -> Column:
+        # offset asc; media before text at equal offsets (RANGE-frame
+        # parity); text-text ties by text (collect_list-sort parity)
         return (
             F.when(a["offset"] < b["offset"], -1)
             .when(a["offset"] > b["offset"], 1)
-            .when(a["text"] < b["text"], -1)
-            .when(a["text"] > b["text"], 1)
+            .when(is_text(a) & ~is_text(b), 1)
+            .when(~is_text(a) & is_text(b), -1)
+            .when(is_text(a) & is_text(b) & (a["text"] < b["text"]), -1)
+            .when(is_text(a) & is_text(b) & (a["text"] > b["text"]), 1)
             .otherwise(0)
         )
 
     empty_runs = F.array().cast("array<struct<ord_key:int,run_text:string>>")
 
-    # p0: text spans sorted by (offset, text) + the media-offset array,
-    # each staged ONCE per doc.  Every stage below is barriered: the
-    # staged arrays are read inside per-element lambdas further down, so
-    # a CollapseProject inline would re-evaluate them once per ELEMENT
-    # (the interpreted-HOF O(n²) pitfall — a megadoc's 11k-span array
-    # re-scanned 11k times).  An aggregate-accumulator assembly was the
-    # first draft here and benched 2× SLOWER than the window it
-    # replaced on the mega-tail corpus: appending to the accumulator
-    # array copies it per element — O(run_len²) — so the linear staged
-    # form below is load-bearing, not style.
+    # p0: ONE sorted array of the non-null-kind spans, staged per doc.
+    # Every stage below is barriered: the staged arrays are read inside
+    # per-element lambdas further down, so a CollapseProject inline
+    # would re-evaluate them once per ELEMENT (the interpreted-HOF
+    # O(n²) pitfall — a megadoc's 11k-span array re-scanned 11k times).
+    # Two rejected drafts, both measured on megadocs: an
+    # aggregate-accumulator scan (appending to the accumulator array
+    # copies it per element — O(run_len²), 2× slower than the window it
+    # replaced) and a per-text-span media-offset count (O(n·m) — fine
+    # for a handful of figures, quadratic on boundary-rich docs whose
+    # media interleave every few spans).  The boundary-index form below
+    # is O(n·log n) in the span count, full stop.
     p0 = df.select(
         "doc_id",
-        stage_barrier(F.array_sort(F.filter("spans", is_text), cmp_text)).alias("_stext"),
         stage_barrier(
-            F.transform(
-                F.filter("spans", lambda s: s["kind"].isNotNull() & (s["kind"] != F.lit("text"))),
-                lambda s: s["offset"],
-            )
-        ).alias("_moffs"),
+            F.array_sort(F.filter("spans", lambda s: s["kind"].isNotNull()), cmp)
+        ).alias("_sorted"),
     )
-    # p1: run id per text span = count of media offsets <= its offset
-    # (<=, not <: a media span at the SAME offset counts toward the
-    # boundary — the RANGE-frame window this replaces summed all offset
-    # peers into the running media count).  O(m) per text span on the
-    # staged media array; media counts are structurally small (figures/
-    # tables per document), so the doc cost is O(n·m).
+
+    def text_at(i: Column) -> Column:
+        # out-of-bounds F.get returns NULL -> eqNullSafe -> False, so the
+        # i=0 / i=n-1 edges need no special casing
+        return F.get("_sorted", i)["kind"].eqNullSafe(F.lit("text"))
+
+    # p1: a run is a maximal stretch of consecutive text elements in the
+    # sorted array (anything between two texts of one run is itself a
+    # text by construction).  Start indices: text whose predecessor is
+    # not text; last indices: text whose successor is not text.  O(n).
+    n_all = F.size("_sorted")
+    seq = F.when(n_all > 0, F.sequence(F.lit(0), n_all - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     p1 = p0.select(
         "doc_id",
-        stage_barrier(
-            F.transform(
-                "_stext",
-                lambda t: F.struct(
-                    F.size(F.filter("_moffs", lambda o: o <= t["offset"])).alias("rid"),
-                    t["offset"].cast("int").alias("offset"),
-                    t["text"].alias("text"),
-                ),
-            )
-        ).alias("_tr"),
+        "_sorted",
+        stage_barrier(F.filter(seq, lambda i: text_at(i) & ~text_at(i - 1))).alias("_starts"),
+        stage_barrier(F.filter(seq, lambda i: text_at(i) & ~text_at(i + 1))).alias("_lasts"),
     )
-    # p2: runs are CONTIGUOUS slices of _tr (it is offset-sorted), so
-    # run starts are the 0-based indices where rid changes — O(n) with
-    # O(1) element gets on the staged array.
-    n_tr = F.size("_tr")
-    starts = F.filter(
-        F.sequence(F.lit(0), n_tr - 1),
-        lambda i: (i == 0) | (F.get("_tr", i)["rid"] != F.get("_tr", i - 1)["rid"]),
-    )
-    p2 = p1.select(
-        "doc_id",
-        "_tr",
-        stage_barrier(
-            F.when(n_tr > 0, starts).otherwise(F.array().cast("array<int>"))
-        ).alias("_starts"),
-    )
-    # p3: pair each start with the next start (or n) and slice — every
-    # text element is copied into exactly one run, O(n) total.
-    n_starts = F.size("_starts")
-    nexts = F.concat(
-        F.slice("_starts", 2, F.greatest(n_starts - 1, F.lit(0))),
-        F.array(F.size("_tr")),
-    )
-    runs_arr = F.when(
-        F.size("_tr") > 0,
-        F.zip_with(
-            "_starts",
-            nexts,
-            lambda a, b: F.struct(
-                F.get("_tr", a)["offset"].alias("ord_key"),
-                F.array_join(
-                    F.transform(F.slice("_tr", a + 1, b - a), lambda t: t["text"]),
-                    "\n",
-                ).alias("run_text"),
-            ),
+    # p2: zip starts with lasts (every run has exactly one of each) and
+    # slice — each text element lands in exactly one run, O(n) total.
+    runs_arr = F.zip_with(
+        "_starts",
+        "_lasts",
+        lambda a, b: F.struct(
+            F.get("_sorted", a)["offset"].cast("int").alias("ord_key"),
+            F.array_join(
+                F.transform(F.slice("_sorted", a + 1, b - a + 1), lambda t: t["text"]),
+                "\n",
+            ).alias("run_text"),
         ),
-    ).otherwise(empty_runs)
-    staged = p2.select("doc_id", stage_barrier(runs_arr).alias("_runs"))
+    )
+    staged = p1.select(
+        "doc_id",
+        stage_barrier(F.coalesce(runs_arr, empty_runs)).alias("_runs"),
+    )
     # EXPLICIT partition count: a column-only repartition is
     # REPARTITION_BY_COL, which AQE freely coalesces by BYTES — and the
     # skew this path defuses is CPU skew (a megadoc's runs are a few MB

@@ -194,6 +194,12 @@ def test_exploded_runs_fan_out_and_plan(spark):
         if "Filter" in line:
             assert "aggregate(" not in line, "run assembly re-inlined into a Filter"
 
+    # many-boundary parity: 200 runs + 200 media spans must re-stitch to
+    # the identical row the nested strategy produces
+    nested = convert_documents(df, "officeAction").collect()[0].asDict(recursive=True)
+    exploded = convert_documents_exploded(df, "officeAction").collect()[0].asDict(recursive=True)
+    assert nested == exploded
+
 
 def test_auto_strategy_pick_and_parity(spark, docs_rows):
     """pick_convert_strategy implements the straggler cost model: a doc

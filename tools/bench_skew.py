@@ -41,7 +41,10 @@ def main() -> None:
 
     from patent_decision_document_converter_spark.plans.job import convert_documents
     from patent_decision_document_converter_spark.sources.documents import DOCUMENTS_SCHEMA
-    from patent_decision_document_converter_spark.sources.generator import make_documents_rows
+    from patent_decision_document_converter_spark.sources.generator import (
+        make_document_text,
+        make_documents_rows,
+    )
 
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -110,9 +113,47 @@ def main() -> None:
         ),
     ]
 
+    # boundary-rich corpus: ONE ~6 MB megadoc whose spans interleave
+    # media every ~10 text spans and which holds most of the corpus
+    # work — the regime the exploded strategy exists for (an
+    # unsplittable multi-second ROW under nested conversion, but 4000
+    # independent runs once exploded).  A 10x-smaller first cut showed
+    # the trap: a 600 KB megadoc converts in under a second, so fixed
+    # job overhead swamped the straggler and salted-nested "won" a
+    # corpus that was never actually skewed in wall-clock terms.
+    import random as _random
+
+    _rng = _random.Random(123)
+    bspans, boff = [], 0
+    for i in range(40000):
+        bspans.append(
+            {"kind": "text", "text": make_document_text(_rng, 2), "media_ref": "", "offset": boff}
+        )
+        boff += 1
+        if i % 10 == 0:
+            bspans.append(
+                {"kind": "figure", "text": "", "media_ref": f"media://figure/{i}", "offset": boff}
+            )
+            boff += 1
+    rows_b = make_documents_rows(1000, seed=7, mega_frac=0.0) + [
+        {"doc_id": "boundary-mega", "spans": bspans}
+    ]
+    df_b = spark.createDataFrame(rows_b, schema=DOCUMENTS_SCHEMA).persist()
+    df_b.count()
+    layouts_boundary = [
+        timed("b_salted_128part", df_b, nested(CPUS * 4, salt_buckets=16)),
+        timed("b_exploded", df_b, lambda d: convert_documents_exploded(d, "officeAction")),
+        timed(
+            "b_auto",
+            df_b,
+            lambda d: convert_documents_auto(d, "officeAction", n_partitions=CPUS * 4),
+        ),
+    ]
+
     picks = {
         "mega_tail": pick_convert_strategy(df),
         "uniform": pick_convert_strategy(df_u),
+        "boundary_mega": pick_convert_strategy(df_b),
     }
     print("strategy picks:", picks, flush=True)
 
@@ -128,6 +169,11 @@ def main() -> None:
         "uniform": round(
             _sec(layouts_uniform, "u_auto")
             / min(_sec(layouts_uniform, "u_salted_128part"), _sec(layouts_uniform, "u_exploded")),
+            3,
+        ),
+        "boundary_mega": round(
+            _sec(layouts_boundary, "b_auto")
+            / min(_sec(layouts_boundary, "b_salted_128part"), _sec(layouts_boundary, "b_exploded")),
             3,
         ),
     }
@@ -148,6 +194,7 @@ def main() -> None:
         "cpus": CPUS,
         "layouts": layouts,
         "layouts_uniform": layouts_uniform,
+        "layouts_boundary": layouts_boundary,
         "strategy_picks": picks,
         "auto_vs_best": auto_vs_best,
         "note": (
@@ -155,11 +202,16 @@ def main() -> None:
             "the straggler to max single-doc cost, the coarse layout serializes "
             "whole megadoc groups behind single tasks; 'auto' measures the "
             "straggler-cost-model strategy pick (includes its stats job) vs the "
-            "better hand-picked strategy on each corpus — on both corpora here "
-            "max_doc*cores/total < 3 so auto stays nested+salt; post-r5 "
-            "(array-native run assembly + explicit fan-out repartition) salted "
-            "nested still wins the mega tail while the uniform corpus is a "
-            "wash between the strategies"
+            "better hand-picked strategy on each corpus — on the mega-tail and "
+            "uniform corpora max_doc*cores/total < 3 so auto stays nested+salt; "
+            "post-r5 (array-native run assembly + explicit fan-out repartition) "
+            "salted nested still wins the mega tail while the uniform corpus is "
+            "a wash between the strategies. boundary_mega (one media-interleaved "
+            "megadoc holding most of the corpus work — an unsplittable ROW under "
+            "nested conversion, ~4000 independent runs once exploded) is the "
+            "exploded strategy's design regime: auto picks exploded there and "
+            "per-run fan-out beats the salted layout's single-task straggler "
+            "bound"
         ),
     }
     with open(os.path.join(REPO, "BENCH_SKEW.json"), "w") as f:
