@@ -192,7 +192,11 @@ def test_exploded_runs_fan_out_and_plan(spark):
     assert re.search(r"Exchange hashpartitioning\(doc_id#\d+, ord_key#\d+", plan)
     for line in plan.splitlines():
         if "Filter" in line:
-            assert "aggregate(" not in line, "run assembly re-inlined into a Filter"
+            # the assembly's HOF signatures must never re-inline into a
+            # Filter (pushdown barrier): zip_with builds the runs,
+            # array_sort stages the span order
+            assert "zip_with(" not in line, "run assembly re-inlined into a Filter"
+            assert "array_sort(" not in line, "span staging re-inlined into a Filter"
 
     # many-boundary parity: 200 runs + 200 media spans must re-stitch to
     # the identical row the nested strategy produces
