@@ -1141,3 +1141,114 @@ def remove_common_runs(
         F.col("n_cut").cast("long").alias("removed_tokens"),
     )
     return spliced
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership dedup (reference sets too big to broadcast-join)
+# ---------------------------------------------------------------------------
+
+
+def bloom_positions(
+    col: Column, n_bits: int, n_hashes: int, salt: str = "bloom"
+) -> Column:
+    """Per-row array of ``n_hashes`` bit positions in ``[0, n_bits)`` —
+    md5-derived (portable across engines: a SQL oracle replays the
+    identical positions, so even the FALSE POSITIVES replicate exactly).
+    NULL input yields a NULL array — not an array of NULLs — so the
+    build side's explode emits nothing and the probe side flags False."""
+    return F.when(
+        col.isNotNull(),
+        F.array(
+            *[
+                F.pmod(md5_long(F.concat(col, F.lit(f":{salt}{i}"))), F.lit(n_bits))
+                for i in range(n_hashes)
+            ]
+        ),
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    text_col: str = "text",
+    n_bits: int = 1 << 23,
+    n_hashes: int = 4,
+    salt: str = "bloom",
+) -> bytes:
+    """Build a Bloom filter bitmap over a REFERENCE corpus column.
+
+    The scale story this op exists for: dropping documents whose hash
+    appears in a reference set needs no join and no shuffle of the
+    corpus when the reference fits a broadcast FILTER even though its
+    exact hash set would not (10^10 refs = 80 GB of longs, vs a 1%-fpp
+    Bloom bitmap ~12 GB, or any sized-down bitmap at a known fpp; this
+    sandbox uses small ``n_bits`` to make false positives observable
+    and oracle-replayable).
+
+    Plan shape: positions are computed JVM-side and exploded; ONE
+    ``mapInPandas`` pass emits a fixed-size per-partition bitmap
+    (``n_bits/8`` bytes regardless of row count — the treeAggregate
+    shape of Spark's own ``stat.bloomFilter``), OR-reduced on the
+    driver.  No driver-side row collection ever happens.
+    """
+    import numpy as np
+
+    n_bytes = (n_bits + 7) // 8
+    pos = df.select(
+        F.explode(bloom_positions(F.col(text_col), n_bits, n_hashes, salt)).alias("p")
+    )
+
+    def to_bitmap(batches):
+        import numpy as np
+        import pandas as pd
+
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        for pdf in batches:
+            if len(pdf):
+                p = pdf["p"].to_numpy(dtype=np.int64)
+                np.bitwise_or.at(bits, p >> 3, (1 << (p & 7)).astype(np.uint8))
+        yield pd.DataFrame({"bitmap": [bits.tobytes()]})
+
+    out = np.zeros(n_bytes, dtype=np.uint8)
+    for row in pos.mapInPandas(to_bitmap, schema="bitmap binary").collect():
+        out |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+    return out.tobytes()
+
+
+def bloom_might_contain(
+    df: DataFrame,
+    bitmap: bytes,
+    text_col: str = "text",
+    n_bits: int = 1 << 23,
+    n_hashes: int = 4,
+    salt: str = "bloom",
+    out_col: str = "in_ref",
+) -> DataFrame:
+    """Flag rows whose ``text_col`` MIGHT be in the reference filter
+    (no false negatives; false-positive rate set by ``n_bits``/
+    ``n_hashes`` vs reference cardinality).  Positions are JVM
+    expressions; the bit probe is one Arrow-batched pandas UDF over a
+    broadcast bitmap (vectorized: the batch's k positions form one
+    matrix, one gather, one all-reduce).  NULL text flags False."""
+    import numpy as np
+
+    bits = np.frombuffer(bitmap, dtype=np.uint8)
+    bc = df.sparkSession.sparkContext.broadcast(bits)
+
+    @F.pandas_udf("boolean")
+    def _probe(pos):  # pd.Series of length-k lists
+        import numpy as np
+        import pandas as pd
+
+        b = bc.value
+        vals = pos.to_list()
+        ok = [v is not None and len(v) > 0 for v in vals]
+        res = np.zeros(len(vals), dtype=bool)
+        if any(ok):
+            m = np.asarray([v for v, o in zip(vals, ok) if o], dtype=np.int64)
+            hit = ((b[m >> 3] & (1 << (m & 7)).astype(np.uint8)) != 0).all(axis=1)
+            res[np.nonzero(ok)[0]] = hit
+        return pd.Series(res)
+
+    return df.withColumn(
+        out_col, _probe(bloom_positions(F.col(text_col), n_bits, n_hashes, salt))
+    )

@@ -930,6 +930,47 @@ HAVING 1000 * COUNT(*) >= 500 * MIN(n.n_chunk_shingles)
 """
 
 
+def dedup_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership dedup: the zh documents play a reference
+    corpus too large to broadcast-join exactly; every document is
+    flagged if its text MIGHT be in the reference filter.  512 bits /
+    3 hashes are deliberately tiny so FALSE POSITIVES occur at sf0.01 —
+    and replicate exactly: the positions are md5-derived, so DuckDB
+    rebuilds the identical set-bit set and applies the identical
+    all-positions-present test (Bloom semantics, not an approximation
+    of them).  No false negatives by construction (every zh doc flags
+    1).  The corpus side never shuffles — positions are JVM
+    expressions, the probe one Arrow-batched pandas UDF over the
+    broadcast bitmap."""
+    from ..operators import dedup as _d
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("lang") == "zh")
+    bitmap = _d.bloom_build(ref, text_col="text", n_bits=512, n_hashes=3)
+    out = _d.bloom_might_contain(docs, bitmap, text_col="text", n_bits=512, n_hashes=3)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.col("in_ref").cast("int").alias("in_ref"),
+    )
+
+
+_BLOOM_SQL = """
+WITH refpos AS (
+  SELECT DISTINCT (CAST('0x' || substr(md5(text || ':bloom' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)) % 512 AS p
+  FROM documents, range(3) t(i) WHERE lang = 'zh'
+),
+probe AS (
+  SELECT doc_id, lang,
+         (CAST('0x' || substr(md5(text || ':bloom' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)) % 512 AS pos
+  FROM documents, range(3) t(i)
+)
+SELECT CAST(p.doc_id AS BIGINT) AS doc_id, p.lang AS lang,
+       CAST(BOOL_AND(p.pos IN (SELECT rp.p FROM refpos rp)) AS INT) AS in_ref
+FROM probe p GROUP BY p.doc_id, p.lang
+"""
+
+
 def dedup_common_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level duplication: longest consecutive shared 3-shingle run
     per MinHash-LSH candidate pair (lcs_tokens = max_run + 2) — the
@@ -2618,6 +2659,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_clusters": (dedup_clusters, _CLUSTERS_SQL),
     "dedup_decontaminate": (dedup_decontaminate, _DECONTAM_SQL),
     "dedup_decontaminate_chunks": (dedup_decontaminate_chunks, _DECONTAM_CHUNKS_SQL),
+    "dedup_bloom_membership": (dedup_bloom_membership, _BLOOM_SQL),
     "dedup_common_run": (dedup_common_run, _COMMON_RUN_SQL),
     "dedup_remove_common_run": (dedup_remove_common_run, _REMOVE_RUN_SQL),
     "dedup_shingle_overlap": (dedup_shingle_overlap, _SHINGLE_OVERLAP_SQL),

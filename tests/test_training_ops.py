@@ -1438,3 +1438,51 @@ def test_shingle_explode_filters_never_reinline_the_hof_chain(docs):
             if "Filter " in ln and "array_distinct(transform" in ln
         ]
         assert not bad, (name, bad[:1])
+
+
+def test_bloom_membership_filter(spark):
+    """Bloom semantics: NO false negatives (every reference row flags
+    True), false positives possible and deterministic; null text flags
+    False; membership independent of partitioning; a pure-Python bit
+    replay of the md5 positions agrees row-for-row."""
+    import hashlib
+
+    ref_rows = [(i, f"ref doc {i} körper 本文") for i in range(40)]
+    other_rows = [(100 + i, f"probe doc {i} different") for i in range(200)]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        ref_rows + other_rows + [(999, None)], "doc_id long, text string"
+    )
+    n_bits, k = 256, 3
+    bitmap = dedup.bloom_build(ref, n_bits=n_bits, n_hashes=k)
+    out = {
+        r["doc_id"]: r["in_ref"]
+        for r in dedup.bloom_might_contain(
+            corpus, bitmap, n_bits=n_bits, n_hashes=k
+        ).collect()
+    }
+    # no false negatives
+    assert all(out[i] for i, _ in ref_rows)
+    # null text -> False, never a crash
+    assert out[999] is False
+    # pure-Python replay of positions + bit test matches every row
+    set_bits = set()
+    def positions(text):
+        return [
+            int(hashlib.md5(f"{text}:bloom{i}".encode()).hexdigest()[:15], 16) % n_bits
+            for i in range(k)
+        ]
+    for _, t in ref_rows:
+        set_bits.update(positions(t))
+    for did, t in ref_rows + other_rows:
+        assert out[did] == all(p in set_bits for p in positions(t)), did
+    # deterministic under repartitioning (build AND probe)
+    bitmap2 = dedup.bloom_build(ref.repartition(7), n_bits=n_bits, n_hashes=k)
+    assert bitmap2 == bitmap
+    out2 = {
+        r["doc_id"]: r["in_ref"]
+        for r in dedup.bloom_might_contain(
+            corpus.repartition(5), bitmap, n_bits=n_bits, n_hashes=k
+        ).collect()
+    }
+    assert out2 == out
