@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "dedup_decontaminate",
     "dedup_decontaminate_chunks",
+    "dedup_bloom_membership",
     "dedup_common_run",
     "dedup_remove_common_run",
     "media_features",
@@ -86,6 +87,7 @@ BENCH_QUERIES = [
     "media_enrich_spans",
     "extract_main_dispatch",
     "corpus_stratified_sample",
+    "corpus_temperature_mix",
     "corpus_redact_pii",
     "corpus_tfidf_top_terms",
     "corpus_html_main_content",
