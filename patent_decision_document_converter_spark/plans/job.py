@@ -247,8 +247,8 @@ def _assemble_runs(df: DataFrame) -> DataFrame:
     ``(doc_id, ord_key:int, run_text)``, hash-repartitioned on
     ``(doc_id, ord_key)`` so one doc's runs spread across tasks.
 
-    Run assembly is ARRAY-NATIVE: staged array expressions (one sorted
-    non-null span array → run start/last indices = consecutive-text
+    Run assembly is ARRAY-NATIVE: staged array expressions (one
+    offset-sorted span array → run start/last indices = consecutive-text
     boundaries → contiguous slices, O(n·log n) total regardless of how
     many media boundaries interleave) build the per-doc runs array
     before any explode — no Window, no groupBy.  The r5 plan
@@ -267,35 +267,32 @@ def _assemble_runs(df: DataFrame) -> DataFrame:
     re-inline — and re-evaluate — the whole assembly inside the Filter
     node; see PLANS.md "Round-5 plan audit").
 
-    Tie semantics at equal offsets replicate the old RANGE-frame window:
-    a media span at an offset counts toward the boundary before any text
-    span at the same offset (RANGE frames include all peers in the
-    running media count), and text-text ties order by text — matching
-    the old ``array_sort(collect_list(struct(offset, text)))``.  Spans
-    with NULL kind are inert (neither boundary nor run member), exactly
-    as the old ``kind != 'text'`` null semantics dropped them from both
-    the running sum and both filters.
+    Alignment with the nested strategy is EXACT, including dirty data:
+    the offset sort is stable (comparator ``array_sort`` = TimSort on
+    an Object[]), so tied offsets keep array order like Python's
+    ``sorted(spans, key=offset)``; and a NULL-kind span is a run
+    boundary plus a passthrough row — the nested per-row loop sends
+    anything ``kind != 'text'`` (including NULL) down the media branch,
+    whereas the pre-r5 window shape silently dropped null-kind spans
+    (its ``kind != 'text'`` predicates are NULL-valued there).
     """
 
-    def is_text(s: Column) -> Column:
-        return s["kind"].eqNullSafe(F.lit("text"))
-
     def cmp(a: Column, b: Column) -> Column:
-        # offset asc; media before text at equal offsets (RANGE-frame
-        # parity); text-text ties by text (collect_list-sort parity)
-        return (
-            F.when(a["offset"] < b["offset"], -1)
-            .when(a["offset"] > b["offset"], 1)
-            .when(is_text(a) & ~is_text(b), 1)
-            .when(~is_text(a) & is_text(b), -1)
-            .when(is_text(a) & is_text(b) & (a["text"] < b["text"]), -1)
-            .when(is_text(a) & is_text(b) & (a["text"] > b["text"]), 1)
-            .otherwise(0)
-        )
+        # offset only, ties -> 0: Spark's comparator array_sort is
+        # TimSort on an Object[] (STABLE), so tied offsets keep array
+        # order — byte-for-byte the semantics of the nested strategy's
+        # Python `sorted(spans, key=offset)`
+        return F.when(a["offset"] < b["offset"], -1).when(a["offset"] > b["offset"], 1).otherwise(0)
 
     empty_runs = F.array().cast("array<struct<ord_key:int,run_text:string>>")
 
-    # p0: ONE sorted array of the non-null-kind spans, staged per doc.
+    # p0: ONE offset-sorted span array, staged per doc.  ALL spans stay
+    # — a NULL-kind span is a run BOUNDARY and a passthrough row, same
+    # as any media kind, because the nested strategy's per-row loop
+    # sends anything `kind != 'text'` (including NULL) down the media
+    # branch; the pre-r5 window shape silently DROPPED null-kind spans
+    # (`kind != 'text'` is NULL-valued in both its filters), diverging
+    # from nested on dirty data.
     # Every stage below is barriered: the staged arrays are read inside
     # per-element lambdas further down, so a CollapseProject inline
     # would re-evaluate them once per ELEMENT (the interpreted-HOF
@@ -309,9 +306,7 @@ def _assemble_runs(df: DataFrame) -> DataFrame:
     # is O(n·log n) in the span count, full stop.
     p0 = df.select(
         "doc_id",
-        stage_barrier(
-            F.array_sort(F.filter("spans", lambda s: s["kind"].isNotNull()), cmp)
-        ).alias("_sorted"),
+        stage_barrier(F.array_sort(F.col("spans"), cmp)).alias("_sorted"),
     )
 
     def text_at(i: Column) -> Column:
@@ -406,13 +401,12 @@ def convert_documents_exploded(df: DataFrame, mode: str = "officeAction") -> Dat
         F.lit("").alias("media_ref"),
         "findings",
     )
+    # anything not kind='text' — INCLUDING null kind — passes through as
+    # a media row, matching the nested loop's else-branch exactly
     media = df.select(
         "doc_id",
         F.explode(
-            F.filter(
-                F.col("spans"),
-                lambda s: s["kind"].isNotNull() & (s["kind"] != F.lit("text")),
-            )
+            F.filter(F.col("spans"), lambda s: ~s["kind"].eqNullSafe(F.lit("text")))
         ).alias("s"),
     ).select(
         "doc_id",

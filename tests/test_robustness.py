@@ -42,6 +42,34 @@ def test_convert_degenerate_docs(spark):
         assert expl[k].asDict(recursive=True) == out[k].asDict(recursive=True)
 
 
+def test_convert_null_kind_span_parity(spark):
+    """A NULL-kind span is a run boundary plus a passthrough row in BOTH
+    strategies — the nested per-row loop sends anything kind != 'text'
+    (including NULL) down the media branch, and r5 aligned the exploded
+    strategy to it (the pre-r5 window shape silently DROPPED null-kind
+    spans: `kind != 'text'` is NULL-valued in its filters)."""
+    from patent_decision_document_converter_spark.plans.job import get_spark  # noqa: F401
+
+    rows = [
+        {
+            "doc_id": "dirty",
+            "spans": [
+                {"kind": "text", "text": "前半テキスト", "media_ref": "", "offset": 0},
+                {"kind": None, "text": "", "media_ref": "x:1", "offset": 1},
+                {"kind": "text", "text": "後半テキスト", "media_ref": "", "offset": 2},
+            ],
+        }
+    ]
+    df = create_documents_df(spark, rows)
+    nested = convert_documents(df, "officeAction").collect()[0].asDict(recursive=True)
+    exploded = convert_documents_exploded(df, "officeAction").collect()[0].asDict(recursive=True)
+    assert nested == exploded
+    # the null-kind span survived as a passthrough and split the runs
+    assert nested["n_spans_out"] == 3
+    assert nested["spans"][1]["kind"] is None
+    assert nested["spans"][1]["media_ref"] == "x:1"
+
+
 def test_text_ops_on_null_and_empty(spark):
     df = spark.createDataFrame(
         [(1, None), (2, ""), (3, "   "), (4, "ok text here")],
