@@ -70,6 +70,42 @@ def test_convert_null_kind_span_parity(spark):
     assert nested["spans"][1]["media_ref"] == "x:1"
 
 
+def test_exploded_parity_randomized_dirty_corpus(spark):
+    """Seeded-random dirty corpus: random kind mix (text/figure/table/
+    NULL), empty and whitespace texts, media-heavy and text-heavy docs,
+    empty span arrays — exploded must equal nested row-for-row.
+    (Offsets stay unique per doc: the input_hint defines offset as the
+    span's position; tie order inside one offset is out of contract.)"""
+    import random
+
+    rng = random.Random(20260818)
+    pool = ["theory", "本文テキスト", "", " 　", "claim 1\nbody", "特許法第２９条"]
+    rows = []
+    for d in range(40):
+        n = rng.randint(0, 12)
+        spans = []
+        for i in range(n):
+            kind = rng.choice(["text", "text", "text", "figure", "table", None])
+            spans.append(
+                {
+                    "kind": kind,
+                    "text": rng.choice(pool) if kind == "text" else "",
+                    "media_ref": "" if kind == "text" else f"m:{d}:{i}",
+                    "offset": i,
+                }
+            )
+        rows.append({"doc_id": f"rnd-{d:03d}", "spans": spans})
+    df = create_documents_df(spark, rows)
+    nested = {
+        r["doc_id"]: r.asDict(recursive=True) for r in convert_documents(df, "pct").collect()
+    }
+    exploded = {
+        r["doc_id"]: r.asDict(recursive=True)
+        for r in convert_documents_exploded(df, "pct").collect()
+    }
+    assert nested == exploded
+
+
 def test_text_ops_on_null_and_empty(spark):
     df = spark.createDataFrame(
         [(1, None), (2, ""), (3, "   "), (4, "ok text here")],
