@@ -485,3 +485,44 @@ def test_extract_convert_stream_matches_batch_job(spark, tmp_path_factory):
         for r in spark.read.parquet(outp2).collect()
     }
     assert got2 == want
+
+
+def test_bloom_membership_streams_unchanged(spark, tmp_path_factory):
+    """Reference-set membership on a stream: bloom_might_contain is a
+    stateless projection (JVM position expressions + one pandas UDF over
+    a broadcast bitmap), so the BATCH operator applies to a streaming
+    frame unchanged — the stream's flags must equal the batch flags
+    row-for-row.  The bitmap plays the 'decontaminate against a frozen
+    reference corpus' role: built once batch-side, broadcast to every
+    micro-batch."""
+    from patent_decision_document_converter_spark.operators import dedup
+    from patent_decision_document_converter_spark.sources.generator import doc_text_from_spans
+
+    base = str(tmp_path_factory.mktemp("bloomstream"))
+    inp = os.path.join(base, "in")
+    rows = make_documents_rows(30, seed=33, mega_frac=0.0)
+    tdf = spark.createDataFrame(
+        [(r["doc_id"], doc_text_from_spans(r["spans"])) for r in rows],
+        "doc_id string, text string",
+    )
+    tdf.repartition(4).write.parquet(inp)
+    ref = tdf.filter(F.col("doc_id").rlike("[02468]$"))
+    bitmap = dedup.bloom_build(ref, n_bits=256, n_hashes=3)
+
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(inp)
+    )
+    out = dedup.bloom_might_contain(stream, bitmap, n_bits=256, n_hashes=3)
+    stream_job.run_stream_to_memory(
+        out.select("doc_id", "in_ref"), "bloom_stream_test", output_mode="append"
+    )
+    got = {r["doc_id"]: r["in_ref"] for r in spark.sql("SELECT * FROM bloom_stream_test").collect()}
+    batch = {
+        r["doc_id"]: r["in_ref"]
+        for r in dedup.bloom_might_contain(tdf, bitmap, n_bits=256, n_hashes=3).collect()
+    }
+    assert got == batch and len(got) == 30
+    # no false negatives on the stream either
+    assert all(got[r["doc_id"]] for r in ref.collect())
