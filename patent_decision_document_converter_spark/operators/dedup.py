@@ -1185,10 +1185,16 @@ def bloom_build(
     and oracle-replayable).
 
     Plan shape: positions are computed JVM-side and exploded; ONE
-    ``mapInPandas`` pass emits a fixed-size per-partition bitmap
-    (``n_bits/8`` bytes regardless of row count — the treeAggregate
-    shape of Spark's own ``stat.bloomFilter``), OR-reduced on the
-    driver.  No driver-side row collection ever happens.
+    Arrow-batched ``mapInPandas`` pass emits a fixed-size per-partition
+    bitmap (``n_bits/8`` bytes regardless of row count), and the
+    per-partition bitmaps are ``treeReduce``-merged EXECUTOR-SIDE
+    (depth 2 — the shape of Spark's own ``stat.bloomFilter``'s
+    treeAggregate), so the driver receives exactly ONE bitmap no matter
+    how many partitions the reference scans into.  A collect-then-OR
+    here would ship partitions × bitmap bytes to the driver — fine for
+    kilobyte filters, fatal for the multi-GB bitmaps a 10^10-document
+    reference set needs.  (The one RDD use in this repo: a fixed-size
+    binary-blob reduction is per-partition imperative by nature.)
     """
     import numpy as np
 
@@ -1208,10 +1214,11 @@ def bloom_build(
                 np.bitwise_or.at(bits, p >> 3, (1 << (p & 7)).astype(np.uint8))
         yield pd.DataFrame({"bitmap": [bits.tobytes()]})
 
-    out = np.zeros(n_bytes, dtype=np.uint8)
-    for row in pos.mapInPandas(to_bitmap, schema="bitmap binary").collect():
-        out |= np.frombuffer(row["bitmap"], dtype=np.uint8)
-    return out.tobytes()
+    part_maps = pos.mapInPandas(to_bitmap, schema="bitmap binary")
+    merged = part_maps.rdd.map(
+        lambda r: np.frombuffer(r["bitmap"], dtype=np.uint8)
+    ).treeReduce(lambda a, b: a | b, depth=2)
+    return merged.tobytes()
 
 
 def bloom_might_contain(
