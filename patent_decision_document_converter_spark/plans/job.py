@@ -267,14 +267,17 @@ def _assemble_runs(df: DataFrame) -> DataFrame:
     re-inline — and re-evaluate — the whole assembly inside the Filter
     node; see PLANS.md "Round-5 plan audit").
 
-    Alignment with the nested strategy is EXACT, including dirty data:
-    the offset sort is stable (comparator ``array_sort`` = TimSort on
-    an Object[]), so tied offsets keep array order like Python's
-    ``sorted(spans, key=offset)``; and a NULL-kind span is a run
-    boundary plus a passthrough row — the nested per-row loop sends
-    anything ``kind != 'text'`` (including NULL) down the media branch,
-    whereas the pre-r5 window shape silently dropped null-kind spans
-    (its ``kind != 'text'`` predicates are NULL-valued there).
+    Dirty-data alignment with the nested strategy: a NULL-kind span is
+    a run boundary plus a passthrough row — the nested per-row loop
+    sends anything ``kind != 'text'`` (including NULL) down the media
+    branch, whereas the pre-r5 window shape silently dropped null-kind
+    spans (its ``kind != 'text'`` predicates are NULL-valued there).
+    The offset sort is stable (comparator ``array_sort`` = TimSort on
+    an Object[]), so tied offsets group into runs in array order like
+    Python's ``sorted(spans, key=offset)``; note the downstream
+    re-stitch still orders its output rows by (ord_key, ...), so docs
+    with DUPLICATE offsets remain outside the exploded≡nested contract
+    (input_hint: offset is the span's position — unique per doc).
     """
 
     def cmp(a: Column, b: Column) -> Column:
