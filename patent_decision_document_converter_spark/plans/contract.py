@@ -1356,12 +1356,11 @@ def ann_topk_ivf_kmeans_probe4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("rank").cast("long").alias("rank"), "vec_id")
 
 
-def _ivf_kmeans_sql(k: int = 8, iters: int = 2, n_probe: int = 2, dim: int = 64) -> str:
-    """Generate the unrolled-Lloyd oracle: because the engine's k-means is
-    integer-quantized (order-independent sums, exact floor-division means),
-    DuckDB can replay the IDENTICAL training run — init on vec_id < k,
-    `iters` assign+update rounds, empty cells keeping their centroid —
-    and must land on the same cells, probes, and final top-k."""
+def _kmeans_assign_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> list[str]:
+    """CTE chain replaying the engine's integer-quantized Lloyd training
+    through the final full-corpus assignment (CTE ``af``: vec_id, cell).
+    Shared by the IVF search oracle and the cluster-balanced-sample
+    oracle — both must see the IDENTICAL training run."""
     rng = f"range(1, {dim + 1})"
     ctes = [
         f"q0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv FROM embeddings)",
@@ -1395,6 +1394,19 @@ def _ivf_kmeans_sql(k: int = 8, iters: int = 2, n_probe: int = 2, dim: int = 64)
         """af AS (SELECT vec_id, cid AS cell FROM
        (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM df_)
        WHERE rn = 1)""",
+    ]
+    return ctes
+
+
+def _ivf_kmeans_sql(k: int = 8, iters: int = 2, n_probe: int = 2, dim: int = 64) -> str:
+    """Generate the unrolled-Lloyd oracle: because the engine's k-means is
+    integer-quantized (order-independent sums, exact floor-division means),
+    DuckDB can replay the IDENTICAL training run — init on vec_id < k,
+    `iters` assign+update rounds, empty cells keeping their centroid —
+    and must land on the same cells, probes, and final top-k."""
+    rng = f"range(1, {dim + 1})"
+    prev = f"c{iters}"
+    ctes = _kmeans_assign_ctes(k, iters, dim) + [
         # probe the n_probe cells nearest the query (integer L2, ties low cid)
         f"""probes AS (SELECT c.cid FROM {prev} c CROSS JOIN (SELECT qv FROM q0 WHERE vec_id = 0) q
        ORDER BY list_sum(list_transform({rng}, i -> (q.qv[i] - c.c[i]) * (q.qv[i] - c.c[i]))), c.cid
@@ -1416,6 +1428,49 @@ def _ivf_kmeans_sql(k: int = 8, iters: int = 2, n_probe: int = 2, dim: int = 64)
 
 
 _ANN_IVF_KMEANS_SQL = _ivf_kmeans_sql()
+
+
+def corpus_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling (the SemDeDup-family stage):
+    k-means cells over the embeddings, then temperature-flatten the CELL
+    distribution (α=0.5) so over-dense semantic clusters are downsampled
+    toward balance.  Pure COMPOSITION of two oracle-proven parts —
+    `kmeans_fit_assign` (integer-quantized Lloyd, replayed CTE-for-CTE
+    by `_kmeans_assign_ctes`) and `temperature_mix` (integer-exact
+    floor-sqrt quotas, hash-bucket membership) — so the whole pipeline
+    stays bit-reproducible end-to-end."""
+    from ..operators import corpus
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _cents = similarity.kmeans_fit_assign(emb, k=8, iters=2)
+    out, _quotas = corpus.temperature_mix(
+        assigned.select("vec_id", "cell"),
+        alpha=0.5,
+        strata_col="cell",
+        id_col="vec_id",
+        salt="cellmix",
+    )
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cell").cast("int").alias("cell"),
+    )
+
+
+_CLUSTER_SAMPLE_SQL = (
+    "WITH "
+    + ",\n".join(_kmeans_assign_ctes(k=8, iters=2, dim=64))
+    + """,
+counts AS (SELECT cell, COUNT(*) AS n FROM af GROUP BY cell),
+mn AS (SELECT MIN(n) AS n_min FROM counts),
+qt AS (SELECT counts.cell,
+              CAST(FLOOR(SQRT(CAST((1000000 * mn.n_min) // counts.n AS DOUBLE))) AS BIGINT) AS permille
+       FROM counts, mn)
+SELECT CAST(a.vec_id AS BIGINT) AS vec_id, CAST(a.cell AS INT) AS cell
+FROM af a JOIN qt ON qt.cell = a.cell
+WHERE ((CAST('0x' || substr(md5(CAST(a.vec_id AS VARCHAR) || ':cellmix'), 1, 15) AS BIGINT)) % 1000)
+      < qt.permille
+"""
+)
 
 
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2686,6 +2741,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # corpus-construction suite
     "corpus_stratified_sample": (corpus_stratified_sample, _STRAT_SAMPLE_SQL),
     "corpus_temperature_mix": (corpus_temperature_mix, _TEMP_MIX_SQL),
+    "corpus_cluster_balanced_sample": (corpus_cluster_balanced_sample, _CLUSTER_SAMPLE_SQL),
     "corpus_redact_pii": (corpus_redact_pii, _REDACT_SQL),
     "corpus_tfidf_top_terms": (corpus_tfidf_top_terms, _TFIDF_SQL),
     "corpus_html_main_content": (corpus_html_main_content, _HTML_MAIN_SQL),
